@@ -1,0 +1,135 @@
+"""Configuration for the TPU-native high-fidelity point-cloud fusion framework.
+
+This is the single config surface replacing the reference's three config tiers
+(launch-file rosparams, compile-time constants, template params):
+
+* rosparams   -> ``fusion_frame``-style runtime strings become plain fields
+  (reference: pointcloud_fusion_and_filter.cpp:446-451, launch file lines 3-7).
+* compile-time constants -> runtime fields with the same defaults
+  (reference: kResolution/kZmin/kZmax at pointcloud_fusion_and_filter.cpp:91-93,
+  kGoodPointsThreshold/kBballRadius/kCylinderRadius at OccupancyGrid.hpp:34-36,
+  ``setK(2)`` neighborhood at pointcloud_fusion_and_filter.cpp:163,
+  line half-length K=3 at pointcloud_fusion_and_filter.cpp:311).
+* template thread counts <6|8> -> not needed (XLA vectorizes).
+
+All *static shape* knobs (hash capacity, point budget, buffer sizes) live here
+too; they are hashable so a ``FusionConfig`` can be a static argument to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _dim(lo: float, hi: float, res: float) -> int:
+    """Number of cells along one axis.
+
+    Matches the reference's ``xdim_ = (xmax_-xmin_)/xres_`` C++ double->int
+    truncation (OccupancyGrid.hpp:623-625) with a tiny epsilon so that exact
+    multiples (e.g. 2.6/0.005) don't truncate down due to binary rounding.
+    """
+    return int(math.floor((hi - lo) / res + 1e-9))
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    # ---- geometry (reference launch:7 bounding_box, FUSION.cpp:161-164) ----
+    bbox: Tuple[float, float, float, float, float, float] = (
+        -0.80, 1.80, -1.5, 1.5, 0.0, 1.0)  # xmin,xmax,ymin,ymax,zmin,zmax
+    resolution: Tuple[float, float, float] = (0.005, 0.005, 0.005)
+
+    # ---- filter parameters (OccupancyGrid.hpp:34-36, FUSION.cpp:91-93) ----
+    cylinder_radius: float = 0.001    # kCylinderRadius
+    bball_radius: float = 0.015       # kBballRadius (normal line half-length)
+    good_points_threshold: int = 100  # kGoodPointsThreshold
+    z_clip: Tuple[float, float] = (0.28, 0.6)  # kZmin, kZmax (camera frame)
+
+    # ---- normal estimation (FUSION.cpp:163 setK(2); GRID.hpp:334,352) ----
+    k_neighborhood: int = 2           # PCA window half-width -> (2k+1)^3 cells
+    min_neighbors: int = 21           # gate is "total > 20"
+    line_k: int = 3                   # dependant line half-length in voxels (K)
+
+    # ---- static shapes (TPU: fixed shapes, masks for variable counts) ----
+    capacity_log2: int = 20           # hash table slots C = 2**capacity_log2
+    max_probes: int = 64              # linear-probe bound before overflow
+    max_points: int = 307200          # N_max per frame (640x480)
+    buffer_capacity_log2: int = 21    # global pre-normal point buffer B
+    max_dependants: int = 12          # per-voxel dependant fan-in bound D
+    max_refine_candidates: int = 65536  # voxels refined per pass (U_max)
+
+    # ---- behavior ----
+    store_color: bool = True          # accumulate per-voxel mean color
+                                      # (reference decodes RGB but drops it:
+                                      #  FUSION.cpp:204-212 vs GRID.hpp:456-601)
+    refine_every: int = 16            # frames between refine passes (the
+                                      # reference refines on a 5s wall-clock
+                                      # timer, FUSION.cpp:323; we use a frame
+                                      # cadence so results are deterministic)
+    bug_compat_blue_shift: bool = False  # reproduce FUSION.cpp:174 blue>>1 bug
+
+    # ------------------------------------------------------------------
+    @property
+    def dims(self) -> Tuple[int, int, int]:
+        """Grid dimensions in cells; valid cells are [0, dim) per axis
+        (reference validCoord, OccupancyGrid.hpp:647-650)."""
+        return (
+            _dim(self.bbox[0], self.bbox[1], self.resolution[0]),
+            _dim(self.bbox[2], self.bbox[3], self.resolution[1]),
+            _dim(self.bbox[4], self.bbox[5], self.resolution[2]),
+        )
+
+    @property
+    def n_cells(self) -> int:
+        dx, dy, dz = self.dims
+        return dx * dy * dz
+
+    @property
+    def capacity(self) -> int:
+        return 1 << self.capacity_log2
+
+    @property
+    def buffer_capacity(self) -> int:
+        return 1 << self.buffer_capacity_log2
+
+    @property
+    def origin(self) -> Tuple[float, float, float]:
+        return (self.bbox[0], self.bbox[2], self.bbox[4])
+
+    @property
+    def n_offsets(self) -> int:
+        k = self.k_neighborhood
+        return (2 * k + 1) ** 3
+
+    @property
+    def n_line(self) -> int:
+        return 2 * self.line_k + 1
+
+    def validate(self) -> "FusionConfig":
+        if self.n_cells >= 2 ** 31:
+            raise ValueError(
+                f"grid has {self.n_cells} cells; dense int32 cell ids require "
+                f"< 2^31. Shrink the bbox or coarsen the resolution (or shard "
+                f"the grid over a mesh, see hifi_fusion_tpu.parallel).")
+        if self.bbox[0] >= self.bbox[1] or self.bbox[2] >= self.bbox[3] \
+                or self.bbox[4] >= self.bbox[5]:
+            raise ValueError(f"degenerate bbox {self.bbox}")
+        return self
+
+
+def small_test_config(**overrides) -> FusionConfig:
+    """A tiny config for unit tests (CPU-friendly shapes)."""
+    base = dict(
+        bbox=(-0.32, 0.32, -0.32, 0.32, -0.32, 0.32),
+        resolution=(0.01, 0.01, 0.01),
+        capacity_log2=14,
+        max_probes=32,
+        max_points=4096,
+        buffer_capacity_log2=15,
+        max_dependants=12,
+        max_refine_candidates=4096,
+        z_clip=(-10.0, 10.0),
+    )
+    base.update(overrides)
+    return FusionConfig(**base).validate()

@@ -1,0 +1,106 @@
+"""Extraction: compact the voxel hash into dense output arrays.
+
+Replaces the reference's full-grid triple loops (``downloadData`` /
+``download`` / ``downloadHQ`` / ``downloadClassified``,
+OccupancyGrid.hpp:456-601) — which iterate all ~63M dense cells per export —
+with one device-side compaction over the hash slots: mask
+``occupied & normal_found``, sort by dense cell id (reproducing the
+reference's x-major emission order), and emit finalized statistics:
+
+* centroid  = cell_center + Σq/count   (the cylinder-filtered sub-voxel mean;
+              voxels with count==0 emit (0,0,0) exactly like the reference's
+              default-initialized ``VoxelInfo::centroid``)
+* sd        = Σq²/count - (Σq/count)²  (population variance — what the
+              reference's running Welford ``sd`` converges to)
+* mean_dist, sd_dist analogously (the reference never initializes
+  ``mean_dist`` — we define it as 0 for count==0)
+* normal, count, mean rgb.
+
+Host code slices ``n_valid`` rows and writes PCD/CSV (hifi_fusion_tpu.io).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..grid import GridState
+from . import geometry
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class ExtractResult(NamedTuple):
+    n_valid: jax.Array    # ()    i32 number of emitted voxels
+    cell: jax.Array       # (C,)  i32 dense cell id (sorted ascending)
+    centroid: jax.Array   # (C,3) f32
+    normal: jax.Array     # (C,3) f32
+    sd: jax.Array         # (C,3) f32 per-axis variance of projected points
+    mean_dist: jax.Array  # (C,)  f32
+    sd_dist: jax.Array    # (C,)  f32
+    count: jax.Array      # (C,)  i32 points inside the 1mm cylinder
+    rgb: jax.Array        # (C,3) f32 mean color of points in the voxel
+    n_pts: jax.Array      # (C,)  i32 raw points that landed in the voxel
+
+
+@partial(jax.jit, static_argnames=("config",))
+def extract(grid: GridState, *, config: FusionConfig) -> ExtractResult:
+    C = config.capacity
+    mask = grid.occupied & grid.normal_found
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+
+    sort_key = jnp.where(mask, grid.key, _I32_MAX)
+    order = jnp.argsort(sort_key)
+    cell = sort_key[order]
+
+    coords = geometry.id_to_coords(jnp.maximum(cell, 0), config)
+    center = geometry.cell_center(coords, config)
+
+    cnt = grid.count[order]
+    cnt_f = jnp.maximum(cnt.astype(jnp.float32), 1.0)[:, None]
+    stats = grid.cyl_stats[order]
+    mean_q = stats[:, 0:3] / cnt_f
+    has = (cnt > 0)[:, None]
+    centroid = jnp.where(has, center + mean_q, 0.0)
+    sd = jnp.where(has, stats[:, 3:6] / cnt_f - mean_q * mean_q, 0.0)
+    mean_d = jnp.where(has[:, 0], stats[:, 6] / cnt_f[:, 0], 0.0)
+    sd_d = jnp.where(has[:, 0],
+                     stats[:, 7] / cnt_f[:, 0] - mean_d * mean_d, 0.0)
+
+    npts = grid.n_pts[order]
+    np_f = jnp.maximum(npts.astype(jnp.float32), 1.0)[:, None]
+    rgb = grid.rgb_sum[order] / np_f
+
+    return ExtractResult(
+        n_valid=n_valid,
+        cell=cell,
+        centroid=centroid,
+        normal=grid.normal[order],
+        sd=sd,
+        mean_dist=mean_d,
+        sd_dist=sd_d,
+        count=cnt,
+        rgb=rgb,
+        n_pts=npts,
+    )
+
+
+def to_host(result: ExtractResult) -> dict:
+    """Device ExtractResult -> host dict of trimmed NumPy arrays."""
+    import numpy as np
+    n = int(result.n_valid)
+    return {
+        "cell": np.asarray(result.cell[:n]),
+        "centroid": np.asarray(result.centroid[:n]),
+        "normal": np.asarray(result.normal[:n]),
+        "sd": np.asarray(result.sd[:n]),
+        "mean_dist": np.asarray(result.mean_dist[:n]),
+        "sd_dist": np.asarray(result.sd_dist[:n]),
+        "count": np.asarray(result.count[:n]),
+        "rgb": np.asarray(result.rgb[:n]),
+        "n_pts": np.asarray(result.n_pts[:n]),
+    }

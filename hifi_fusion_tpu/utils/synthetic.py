@@ -1,0 +1,100 @@
+"""Synthetic eye-in-hand sweep generation for tests and benchmarks.
+
+Stands in for the RealSense RGBD stream + TF poses the reference consumes
+(launch:3 remap to /camera/depth/color/points; FUSION.cpp:327-349): a wavy
+surface patch is sampled in the fusion frame, and each frame observes a
+shifted window of it from a camera pose whose z-distance sits inside the
+reference clip window (0.28, 0.6) m.
+
+Camera-frame points are produced by applying the *inverse* pose in float64,
+so device/oracle f32 forward transforms land within ~1e-7 m of the intended
+world-frame samples — keeping parity tests away from voxel-boundary razor
+edges (sample jitter is bounded away from cell walls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import FusionConfig
+
+
+@dataclasses.dataclass
+class Frame:
+    points_cam: np.ndarray  # (N,3) f32
+    rgb: np.ndarray         # (N,3) f32
+    pose: np.ndarray        # (4,4) f32 fusion_T_camera
+    mask: np.ndarray        # (N,)  bool
+
+
+def _look_down_pose(cx: float, cy: float, cz: float) -> np.ndarray:
+    """Camera at (cx,cy,cz) looking along -z of the fusion frame."""
+    pose = np.eye(4, dtype=np.float64)
+    pose[:3, :3] = np.asarray([[1.0, 0.0, 0.0],
+                               [0.0, -1.0, 0.0],
+                               [0.0, 0.0, -1.0]])
+    pose[:3, 3] = [cx, cy, cz]
+    return pose
+
+
+def make_sweep(config: FusionConfig,
+               n_frames: int,
+               points_per_frame: int,
+               seed: int = 0,
+               noise_sd: float = 3e-4,
+               surface_frac: float = 0.5,
+               camera_height: float = 0.4) -> List[Frame]:
+    """Generate a sweep over a wavy surface z = z0 + a*sin*cos patch."""
+    rng = np.random.default_rng(seed)
+    b = config.bbox
+    xr = (b[1] - b[0]) * surface_frac
+    yr = (b[3] - b[2]) * surface_frac
+    x0 = (b[0] + b[1]) / 2 - xr / 2
+    y0 = (b[2] + b[3]) / 2 - yr / 2
+    z0 = b[4] + 0.35 * (b[5] - b[4])
+    amp = 0.06 * (b[5] - b[4])
+
+    frames = []
+    for f in range(n_frames):
+        # a sliding window over the surface (eye-in-hand sweep)
+        u = rng.random(points_per_frame)
+        v = rng.random(points_per_frame)
+        wx = x0 + xr * (0.25 + 0.5 * f / max(n_frames - 1, 1)
+                        ) + 0.25 * xr * (u - 0.5) * 2
+        wy = y0 + yr * (0.5 + 0.45 * (v - 0.5) * 2)
+        wz = (z0 + amp * np.sin(7.0 * wx) * np.cos(5.0 * wy)
+              + rng.normal(0.0, noise_sd, points_per_frame))
+        world = np.stack([wx, wy, wz], axis=-1)
+
+        cx = np.mean(wx)
+        cy = np.mean(wy)
+        pose = _look_down_pose(cx, cy, z0 + camera_height)
+        inv = np.linalg.inv(pose)
+        pts_cam = (world @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+        rgb = rng.integers(0, 256, (points_per_frame, 3)).astype(np.float32)
+        frames.append(Frame(
+            points_cam=pts_cam,
+            rgb=rgb,
+            pose=pose.astype(np.float32),
+            mask=np.ones(points_per_frame, bool),
+        ))
+    return frames
+
+
+def pad_frame(frame: Frame, n_max: int) -> Frame:
+    """Pad a frame to the static lane budget with masked lanes."""
+    n = frame.points_cam.shape[0]
+    if n > n_max:
+        raise ValueError(f"frame has {n} points > max_points {n_max}")
+    pad = n_max - n
+    return Frame(
+        points_cam=np.concatenate(
+            [frame.points_cam, np.zeros((pad, 3), np.float32)]),
+        rgb=np.concatenate([frame.rgb, np.zeros((pad, 3), np.float32)]),
+        pose=frame.pose,
+        mask=np.concatenate([frame.mask, np.zeros(pad, bool)]),
+    )
