@@ -7,7 +7,10 @@ and a dependants vector.  That layout is pointer-chasing, mutex-guarded and
 order-dependent — all wrong for a TPU.
 
 Here the grid is a *pytree of flat SoA arrays in HBM*, addressed by an
-open-addressing spatial hash (survey §7 "core representation decisions"):
+open-addressing spatial hash (survey §7 "core representation decisions").
+All vector fields use the planar component-major layout (see
+ops/geometry.py): minor dim = capacity, so nothing pads against the TPU's
+(8,128) tile:
 
 * ``key``       (C,)   int32  dense cell id ``(x*ydim + y)*zdim + z``; -1 empty.
                  A slot with key != -1 corresponds to "data != nullptr" in the
@@ -49,19 +52,20 @@ class GridState(NamedTuple):
     key: jax.Array          # (C,)   i32  dense cell id, -1 = empty slot
     occupied: jax.Array     # (C,)   bool voxel.occupied
     normal_found: jax.Array  # (C,)  bool VoxelInfo::normal_found
-    normal: jax.Array       # (C,3)  f32  unit surface normal
-    viewpoint: jax.Array    # (C,3)  f32  camera position at first occupancy
+    normal: jax.Array       # (3,C)  f32  unit surface normal (planar)
+    viewpoint: jax.Array    # (3,C)  f32  camera position at first occupancy
     # cylinder statistics (centered sum form) -------------------------
     count: jax.Array        # (C,)   i32  points that passed the 1mm gate
-    cyl_stats: jax.Array    # (C,8)  f32  [Σq(3) | Σq²(3) | Σd | Σd²]
+    cyl_stats: jax.Array    # (8,C)  f32  [Σq(3) | Σq²(3) | Σd | Σd²] —
+                            #        8 rows exactly fill the f32 sublane tile
     # per-voxel color / hit telemetry ---------------------------------
-    rgb_sum: jax.Array      # (C,3)  f32  Σ rgb of points landing in voxel
+    rgb_sum: jax.Array      # (3,C)  f32  Σ rgb of points landing in voxel
     n_pts: jax.Array        # (C,)   i32  raw points landing in voxel
     # dependant links -------------------------------------------------
-    dep: jax.Array          # (C,D)  i32  owner slot indices, -1 = unset
+    dep: jax.Array          # (D,C)  i32  owner slot indices, -1 = unset
     dep_count: jax.Array    # (C,)   i32
     # global pre-normal point buffer ----------------------------------
-    buf_pts: jax.Array      # (B,3)  f32
+    buf_pts: jax.Array      # (3,B)  f32
     buf_slot: jax.Array     # (B,)   i32  destination slot, -1 = empty
     buf_count: jax.Array    # ()     i32  append cursor
     # overflow / telemetry counters -----------------------------------
@@ -82,15 +86,15 @@ def make_grid(config: FusionConfig) -> GridState:
         key=jnp.full((C,), -1, i32),
         occupied=jnp.zeros((C,), jnp.bool_),
         normal_found=jnp.zeros((C,), jnp.bool_),
-        normal=jnp.zeros((C, 3), f32),
-        viewpoint=jnp.zeros((C, 3), f32),
+        normal=jnp.zeros((3, C), f32),
+        viewpoint=jnp.zeros((3, C), f32),
         count=jnp.zeros((C,), i32),
-        cyl_stats=jnp.zeros((C, 8), f32),
-        rgb_sum=jnp.zeros((C, 3), f32),
+        cyl_stats=jnp.zeros((8, C), f32),
+        rgb_sum=jnp.zeros((3, C), f32),
         n_pts=jnp.zeros((C,), i32),
-        dep=jnp.full((C, D), -1, i32),
+        dep=jnp.full((D, C), -1, i32),
         dep_count=jnp.zeros((C,), i32),
-        buf_pts=jnp.zeros((B, 3), f32),
+        buf_pts=jnp.zeros((3, B), f32),
         buf_slot=jnp.full((B,), -1, i32),
         buf_count=jnp.zeros((), i32),
         overflow_probe=jnp.zeros((), i32),

@@ -16,7 +16,8 @@ reference's x-major emission order), and emit finalized statistics:
   ``mean_dist`` — we define it as 0 for count==0)
 * normal, count, mean rgb.
 
-Host code slices ``n_valid`` rows and writes PCD/CSV (hifi_fusion_tpu.io).
+Vector outputs are planar (3, C); host code slices ``n_valid`` columns and
+writes PCD/CSV (hifi_fusion_tpu.io).
 """
 
 from __future__ import annotations
@@ -37,20 +38,27 @@ _I32_MAX = jnp.iinfo(jnp.int32).max
 class ExtractResult(NamedTuple):
     n_valid: jax.Array    # ()    i32 number of emitted voxels
     cell: jax.Array       # (C,)  i32 dense cell id (sorted ascending)
-    centroid: jax.Array   # (C,3) f32
-    normal: jax.Array     # (C,3) f32
-    sd: jax.Array         # (C,3) f32 per-axis variance of projected points
+    centroid: jax.Array   # (3,C) f32
+    normal: jax.Array     # (3,C) f32
+    sd: jax.Array         # (3,C) f32 per-axis variance of projected points
     mean_dist: jax.Array  # (C,)  f32
     sd_dist: jax.Array    # (C,)  f32
     count: jax.Array      # (C,)  i32 points inside the 1mm cylinder
-    rgb: jax.Array        # (C,3) f32 mean color of points in the voxel
+    rgb: jax.Array        # (3,C) f32 mean color of points in the voxel
     n_pts: jax.Array      # (C,)  i32 raw points that landed in the voxel
 
 
-@partial(jax.jit, static_argnames=("config",))
-def extract(grid: GridState, *, config: FusionConfig) -> ExtractResult:
+def extract_impl(grid: GridState, *, config: FusionConfig,
+                 x_range=None) -> ExtractResult:
+    """``x_range=(lo, hi)`` restricts emission to voxels whose x cell index
+    lies in [lo, hi) — used by the sharded path so each device emits only
+    its core slab (halo copies are suppressed)."""
     C = config.capacity
     mask = grid.occupied & grid.normal_found
+    if x_range is not None:
+        _, dy, dz = config.dims
+        cx = grid.key // (dy * dz)
+        mask = mask & (cx >= x_range[0]) & (cx < x_range[1])
     n_valid = jnp.sum(mask.astype(jnp.int32))
 
     sort_key = jnp.where(mask, grid.key, _I32_MAX)
@@ -58,28 +66,27 @@ def extract(grid: GridState, *, config: FusionConfig) -> ExtractResult:
     cell = sort_key[order]
 
     coords = geometry.id_to_coords(jnp.maximum(cell, 0), config)
-    center = geometry.cell_center(coords, config)
+    center = geometry.cell_center(coords, config)          # (3,C)
 
     cnt = grid.count[order]
-    cnt_f = jnp.maximum(cnt.astype(jnp.float32), 1.0)[:, None]
-    stats = grid.cyl_stats[order]
-    mean_q = stats[:, 0:3] / cnt_f
-    has = (cnt > 0)[:, None]
-    centroid = jnp.where(has, center + mean_q, 0.0)
-    sd = jnp.where(has, stats[:, 3:6] / cnt_f - mean_q * mean_q, 0.0)
-    mean_d = jnp.where(has[:, 0], stats[:, 6] / cnt_f[:, 0], 0.0)
-    sd_d = jnp.where(has[:, 0],
-                     stats[:, 7] / cnt_f[:, 0] - mean_d * mean_d, 0.0)
+    cnt_f = jnp.maximum(cnt.astype(jnp.float32), 1.0)      # (C,)
+    stats = grid.cyl_stats[:, order]                       # (8,C)
+    mean_q = stats[0:3] / cnt_f
+    has = cnt > 0
+    centroid = jnp.where(has[None, :], center + mean_q, 0.0)
+    sd = jnp.where(has[None, :], stats[3:6] / cnt_f - mean_q * mean_q, 0.0)
+    mean_d = jnp.where(has, stats[6] / cnt_f, 0.0)
+    sd_d = jnp.where(has, stats[7] / cnt_f - mean_d * mean_d, 0.0)
 
     npts = grid.n_pts[order]
-    np_f = jnp.maximum(npts.astype(jnp.float32), 1.0)[:, None]
-    rgb = grid.rgb_sum[order] / np_f
+    np_f = jnp.maximum(npts.astype(jnp.float32), 1.0)
+    rgb = grid.rgb_sum[:, order] / np_f[None, :]
 
     return ExtractResult(
         n_valid=n_valid,
         cell=cell,
         centroid=centroid,
-        normal=grid.normal[order],
+        normal=grid.normal[:, order],
         sd=sd,
         mean_dist=mean_d,
         sd_dist=sd_d,
@@ -89,18 +96,22 @@ def extract(grid: GridState, *, config: FusionConfig) -> ExtractResult:
     )
 
 
+extract = partial(jax.jit, static_argnames=("config",))(
+    partial(extract_impl, x_range=None))
+
+# planar (3,C) fields, transposed to host-friendly (n,3) in to_host
+_PLANAR_FIELDS = ("centroid", "normal", "sd", "rgb")
+
+
 def to_host(result: ExtractResult) -> dict:
-    """Device ExtractResult -> host dict of trimmed NumPy arrays."""
+    """Device ExtractResult -> host dict of trimmed NumPy arrays (row-major
+    (n,3) vectors for I/O and analysis)."""
     import numpy as np
     n = int(result.n_valid)
-    return {
-        "cell": np.asarray(result.cell[:n]),
-        "centroid": np.asarray(result.centroid[:n]),
-        "normal": np.asarray(result.normal[:n]),
-        "sd": np.asarray(result.sd[:n]),
-        "mean_dist": np.asarray(result.mean_dist[:n]),
-        "sd_dist": np.asarray(result.sd_dist[:n]),
-        "count": np.asarray(result.count[:n]),
-        "rgb": np.asarray(result.rgb[:n]),
-        "n_pts": np.asarray(result.n_pts[:n]),
-    }
+    out = {}
+    for f in ExtractResult._fields:
+        if f == "n_valid":
+            continue
+        a = np.asarray(getattr(result, f))
+        out[f] = a[:, :n].T.copy() if f in _PLANAR_FIELDS else a[:n]
+    return out

@@ -1,0 +1,196 @@
+"""CLI / daemon entrypoint — the equivalent of the reference node's main()
+(FUSION.cpp:442-460) plus its launch-file config surface (launch:1-10).
+
+Subcommands:
+
+* ``synth`` — generate a synthetic sweep file (.npz) for replay/benchmarks.
+* ``fuse``  — replay a sweep through a FusionSession and run ``process``
+              (the headless batch path).
+* ``serve`` — run a session behind a line-delimited JSON TCP control plane
+              with the reference's Trigger-service verbs
+              (start/stop/reset/process + metrics; README.md:7-10) and a
+              binary frame ingest command — the ROS-free replacement for
+              the service/topic interface.
+
+Config precedence: flags > JSON config file > FusionConfig defaults
+(the defaults are the reference's compiled-in constants).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import socketserver
+import struct
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..config import FusionConfig
+
+
+def _build_config(args) -> FusionConfig:
+    base = {}
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            base.update(json.load(f))
+    if getattr(args, "bbox", None):
+        base["bbox"] = tuple(args.bbox)
+    if getattr(args, "resolution", None):
+        base["resolution"] = (args.resolution,) * 3
+    if getattr(args, "refine_every", None):
+        base["refine_every"] = args.refine_every
+    if getattr(args, "capacity_log2", None):
+        base["capacity_log2"] = args.capacity_log2
+    if getattr(args, "max_points", None):
+        base["max_points"] = args.max_points
+    if "bbox" in base:
+        base["bbox"] = tuple(base["bbox"])
+    if "resolution" in base and not isinstance(base["resolution"], tuple):
+        r = base["resolution"]
+        base["resolution"] = tuple(r) if hasattr(r, "__len__") else (r,) * 3
+    if "z_clip" in base:
+        base["z_clip"] = tuple(base["z_clip"])
+    return FusionConfig(**base).validate()
+
+
+def cmd_synth(args) -> int:
+    from .sources import SyntheticSource, save_sweep
+    cfg = _build_config(args)
+    src = SyntheticSource(cfg, args.frames, args.points, seed=args.seed)
+    n = save_sweep(args.output, src)
+    print(f"wrote {n} frames to {args.output}")
+    return 0
+
+
+def cmd_fuse(args) -> int:
+    from .session import FusionSession
+    from .sources import load_sweep
+    cfg = _build_config(args)
+    src = load_sweep(args.sweep)
+    with FusionSession(cfg, output_dir=args.output) as sess:
+        sess.run_source(src)
+        result = sess.process()
+        m = sess.metrics()
+    print(json.dumps({"n_points": result["n_points"],
+                      "cloud": result["cloud"],
+                      "metadata": result["metadata"],
+                      "frames_integrated": m["frames_integrated"],
+                      "frames_per_s": m["frames_per_s"]}))
+    return 0
+
+
+class _ControlHandler(socketserver.StreamRequestHandler):
+    """Line-delimited JSON verbs + length-prefixed binary frame ingest.
+
+    Verbs: {"cmd": "start"|"stop"|"reset"|"process"|"metrics"|"shutdown"}
+    Frames: {"cmd": "frame", "n": N, "pose": [...16 floats...]} followed by
+    N*16 bytes of interleaved x,y,z,rgb float32 records.
+    """
+
+    def handle(self):
+        sess = self.server.session                      # type: ignore
+        for line in self.rfile:
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                self._reply({"ok": False, "error": "bad json"})
+                continue
+            cmd = msg.get("cmd")
+            if cmd in ("start", "stop"):
+                getattr(sess, cmd)()
+                self._reply({"ok": True})
+            elif cmd == "reset":
+                sess.reset(full=bool(msg.get("full", False)))
+                self._reply({"ok": True})
+            elif cmd == "process":
+                r = sess.process()
+                self._reply({"ok": True, "n_points": r["n_points"],
+                             "cloud": r["cloud"],
+                             "metadata": r["metadata"]})
+            elif cmd == "metrics":
+                self._reply({"ok": True, "metrics": sess.metrics()})
+            elif cmd == "frame":
+                n = int(msg["n"])
+                pose = np.asarray(msg["pose"], np.float64).reshape(4, 4)
+                blob = self.rfile.read(n * 16)
+                from .decode import CloudFrame, PointField
+                frame = CloudFrame(
+                    data=blob, point_step=16, width=n,
+                    fields=[PointField("x", 0), PointField("y", 4),
+                            PointField("z", 8), PointField("rgb", 12)])
+                accepted = sess.push_frame(frame, pose)
+                self._reply({"ok": True, "accepted": accepted})
+            elif cmd == "shutdown":
+                self._reply({"ok": True})
+                self.server.shutdown()
+                return
+            else:
+                self._reply({"ok": False, "error": f"unknown cmd {cmd}"})
+
+    def _reply(self, obj):
+        self.wfile.write((json.dumps(obj) + "\n").encode())
+        self.wfile.flush()
+
+
+def cmd_serve(args) -> int:
+    from .session import FusionSession
+    cfg = _build_config(args)
+    session = FusionSession(cfg, output_dir=args.output)
+    with socketserver.ThreadingTCPServer(
+            (args.host, args.port), _ControlHandler) as server:
+        server.daemon_threads = True
+        server.session = session                        # type: ignore
+        print(f"fusion control plane on {args.host}:{args.port}",
+              flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    session.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="hifi_fusion_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_cfg(sp):
+        sp.add_argument("--config", help="JSON config file")
+        sp.add_argument("--bbox", type=float, nargs=6,
+                        metavar=("XMIN", "XMAX", "YMIN", "YMAX",
+                                 "ZMIN", "ZMAX"))
+        sp.add_argument("--resolution", type=float)
+        sp.add_argument("--refine-every", type=int, dest="refine_every")
+        sp.add_argument("--capacity-log2", type=int, dest="capacity_log2")
+        sp.add_argument("--max-points", type=int, dest="max_points")
+
+    sp = sub.add_parser("synth", help="generate a synthetic sweep .npz")
+    add_cfg(sp)
+    sp.add_argument("--frames", type=int, default=20)
+    sp.add_argument("--points", type=int, default=4096)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("fuse", help="replay a sweep and export the cloud")
+    add_cfg(sp)
+    sp.add_argument("--sweep", required=True)
+    sp.add_argument("--output", default=".")
+    sp.set_defaults(fn=cmd_fuse)
+
+    sp = sub.add_parser("serve", help="run the TCP control plane")
+    add_cfg(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7061)
+    sp.add_argument("--output", default=".")
+    sp.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

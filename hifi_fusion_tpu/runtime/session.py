@@ -1,0 +1,273 @@
+"""FusionSession: the host runtime / control plane.
+
+The live-service equivalent of the reference node's subscriber + services +
+worker threads (survey §2 C2/C3/C9/C10; FUSION.cpp:99-169, 327-440), with
+the same externally observable contract:
+
+* ``start()`` / ``stop()``   — gate frame *ingestion* (in-flight frames
+                               still drain; FUSION.cpp:361-375).
+* ``reset()``                — stop + drop the raw input queue; the grid and
+                               processed frames survive, exactly like the
+                               reference (FUSION.cpp:351-359).  Pass
+                               ``full=True`` for the fixed semantics (also
+                               clears the grid — what reset *should* do).
+* ``process()``              — drain-wait, export PCD + metadata CSV to the
+                               output directory, then clear the grid
+                               (snapshot-and-destroy; FUSION.cpp:377-440).
+* ``push_frame(frame,pose)`` — the subscriber callback.  A ``pose_provider``
+                               may be attached instead; if it raises, the
+                               frame is dropped with a warning — the
+                               reference's TF-exception contract
+                               (FUSION.cpp:340-344).
+
+Architecture differences (deliberate, TPU-first): the reference runs three
+free-running mutex-guarded threads over two deques with 1 s sleep-polls.
+Here one worker drains a bounded drop-oldest deque (the ROS queue=100
+backpressure made explicit, FUSION.cpp:152) and calls the jitted fusion
+step; JAX async dispatch overlaps host decode of frame N+1 with device
+compute of frame N, and refinement is fused into the step on a frame
+cadence — no grid mutex, no wall-clock races, deterministic results.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import os
+import threading
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FusionConfig
+from ..grid import GridState, grid_metrics
+from ..io import downloads
+from ..models.pipeline import FusionPipeline
+from ..ops.extract import to_host
+from .decode import CloudFrame, decode_frame
+from .sources import Source
+
+log = logging.getLogger("hifi_fusion_tpu")
+
+PoseProvider = Callable[[CloudFrame], np.ndarray]
+
+
+class FusionSession:
+    def __init__(self, config: FusionConfig,
+                 output_dir: str = ".",
+                 queue_depth: int = 100,
+                 pose_provider: Optional[PoseProvider] = None,
+                 final_refine: bool = True):
+        self.config = config.validate()
+        self.output_dir = output_dir
+        self.pipeline = FusionPipeline(config)
+        self.pose_provider = pose_provider
+        self.final_refine = final_refine
+
+        self._queue = collections.deque(maxlen=queue_depth)
+        self._qlock = threading.Lock()
+        self._glock = threading.Lock()
+        self._wake = threading.Event()
+        self._shutdown = False
+        self._started = False
+        self._busy = False
+
+        self._grid: GridState = self.pipeline.init()
+        self._frames_in = 0
+        self._frames_integrated = 0
+        self._frames_dropped = 0
+        self._pose_failures = 0
+        self._t_first = None
+        self._t_last = None
+
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="fusion-worker")
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    # control plane (Trigger-service equivalents)
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        log.info("START")
+        self._started = True
+
+    def stop(self) -> None:
+        log.info("STOP")
+        self._started = False
+
+    def reset(self, full: bool = False) -> None:
+        """Reference parity: stop + clear *input* queue only
+        (FUSION.cpp:351-359). ``full=True`` additionally clears the grid."""
+        log.info("RESET full=%s", full)
+        self._started = False
+        with self._qlock:
+            self._queue.clear()
+        if full:
+            self.drain()
+            with self._glock:
+                self._grid = self.pipeline.init()
+
+    def process(self, cloud_name: str = "test_cloud.pcd",
+                meta_name: str = "meta.csv",
+                ascii_mode: bool = True) -> Dict:
+        """Drain, export the fused cloud + metadata, clear the grid."""
+        self.drain()
+        os.makedirs(self.output_dir, exist_ok=True)
+        cloud_path = os.path.join(self.output_dir, cloud_name)
+        meta_path = os.path.join(self.output_dir, meta_name)
+        with self._glock:
+            grid = self._grid
+            if self.final_refine:
+                grid = self.pipeline.refine(grid)
+            host = to_host(self.pipeline.extract(grid))
+            n = downloads.download_data(host, cloud_path, meta_path,
+                                        ascii_mode=ascii_mode)
+            metrics = grid_metrics(grid)
+            # snapshot-and-destroy, but leak-free by construction
+            # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
+            self._grid = self.pipeline.init()
+        log.info("PROCESS: %d voxels -> %s", n, cloud_path)
+        return {"cloud": cloud_path, "metadata": meta_path, "n_points": n,
+                "grid_metrics": metrics}
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+    def push_frame(self, frame: CloudFrame,
+                   pose: Optional[np.ndarray] = None) -> bool:
+        """Subscriber callback. Returns False if gated or pose lookup failed."""
+        self._frames_in += 1
+        if not self._started:
+            return False
+        if pose is None:
+            if self.pose_provider is None:
+                raise ValueError("no pose given and no pose_provider set")
+            try:
+                pose = self.pose_provider(frame)
+            except Exception as e:   # drop-and-warn (FUSION.cpp:340-344)
+                self._pose_failures += 1
+                log.warning("pose lookup failed, dropping frame: %s", e)
+                return False
+        with self._qlock:
+            if len(self._queue) == self._queue.maxlen:
+                self._frames_dropped += 1
+            self._queue.append((frame, np.asarray(pose)))
+        self._wake.set()
+        return True
+
+    def run_source(self, source: Source, auto_start: bool = True) -> None:
+        """Feed an entire source through the session (replay mode)."""
+        if auto_start:
+            self.start()
+        for frame, pose in source:
+            self.push_frame(frame, pose)
+        self.drain()
+
+    # ------------------------------------------------------------------
+    # worker
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        cfg = self.config
+        while not self._shutdown:
+            item = None
+            with self._qlock:
+                if self._queue:
+                    item = self._queue.popleft()
+                    self._busy = True
+            if item is None:
+                self._busy = False
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            frame, pose = item
+            try:
+                xyz, rgb = decode_frame(
+                    frame, blue_shift_bug=cfg.bug_compat_blue_shift)
+                n = min(xyz.shape[0], cfg.max_points)
+                # planar (3, N_max) device layout (see ops/geometry.py)
+                pts_p = np.zeros((3, cfg.max_points), np.float32)
+                rgb_p = np.zeros((3, cfg.max_points), np.float32)
+                pts_p[:, :n] = xyz[:n].T
+                rgb_p[:, :n] = rgb[:n].T
+                mask = np.zeros(cfg.max_points, bool)
+                mask[:n] = True
+                with self._glock:
+                    self._grid = self.pipeline.step(
+                        self._grid, jnp.asarray(pts_p), jnp.asarray(rgb_p),
+                        jnp.asarray(mask),
+                        jnp.asarray(pose, jnp.float32))
+                now = time.monotonic()
+                if self._t_first is None:
+                    self._t_first = now
+                self._t_last = now
+                self._frames_integrated += 1
+            except Exception:
+                log.exception("frame integration failed; frame dropped")
+            finally:
+                self._busy = False
+
+    def drain(self, timeout: float = 300.0) -> bool:
+        """Block until the input queue is empty and the worker is idle
+        (the reference's drain-wait in getFusedCloud, FUSION.cpp:379-394 —
+        without the 1 s sleep-polls)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._qlock:
+                empty = not self._queue
+            if empty and not self._busy:
+                # ensure the last dispatched device step finished
+                with self._glock:
+                    jax.block_until_ready(self._grid.frames)
+                return True
+            time.sleep(0.002)
+        return False
+
+    # ------------------------------------------------------------------
+    # observability / checkpoint (survey §5.4, §5.5)
+    # ------------------------------------------------------------------
+    def metrics(self) -> Dict:
+        with self._glock:
+            m = grid_metrics(self._grid)
+        dt = ((self._t_last - self._t_first)
+              if (self._t_first is not None
+                  and self._t_last is not None
+                  and self._t_last > self._t_first) else None)
+        m.update({
+            "frames_received": self._frames_in,
+            "frames_integrated": self._frames_integrated,
+            "frames_dropped_backpressure": self._frames_dropped,
+            "pose_failures": self._pose_failures,
+            "frames_per_s": ((self._frames_integrated - 1) / dt
+                             if dt else None),
+        })
+        return m
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the grid (absent in the reference — its only snapshot
+        is the destructive ``process``; survey §5.4)."""
+        self.drain()
+        with self._glock:
+            arrays = {f: np.asarray(getattr(self._grid, f))
+                      for f in self._grid._fields}
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str) -> None:
+        z = np.load(path)
+        state = GridState(**{f: jnp.asarray(z[f])
+                             for f in GridState._fields})
+        with self._glock:
+            self._grid = state
+
+    def close(self) -> None:
+        self._shutdown = True
+        self._wake.set()
+        self._worker.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

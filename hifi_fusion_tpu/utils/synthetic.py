@@ -86,15 +86,16 @@ def make_sweep(config: FusionConfig,
 
 
 def pad_frame(frame: Frame, n_max: int) -> Frame:
-    """Pad a frame to the static lane budget with masked lanes."""
+    """Pad a frame to the static lane budget with masked lanes and convert
+    to the device-side planar layout: points_cam/rgb become (3, n_max)
+    (component-major — see ops/geometry.py on TPU tiling)."""
     n = frame.points_cam.shape[0]
     if n > n_max:
         raise ValueError(f"frame has {n} points > max_points {n_max}")
-    pad = n_max - n
-    return Frame(
-        points_cam=np.concatenate(
-            [frame.points_cam, np.zeros((pad, 3), np.float32)]),
-        rgb=np.concatenate([frame.rgb, np.zeros((pad, 3), np.float32)]),
-        pose=frame.pose,
-        mask=np.concatenate([frame.mask, np.zeros(pad, bool)]),
-    )
+    pts = np.zeros((3, n_max), np.float32)
+    rgb = np.zeros((3, n_max), np.float32)
+    mask = np.zeros(n_max, bool)
+    pts[:, :n] = frame.points_cam.T
+    rgb[:, :n] = frame.rgb.T
+    mask[:n] = frame.mask
+    return Frame(points_cam=pts, rgb=rgb, pose=frame.pose, mask=mask)

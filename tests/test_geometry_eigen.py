@@ -1,4 +1,7 @@
-"""Unit tests: grid geometry semantics + analytic eigen33 (survey §4)."""
+"""Unit tests: grid geometry semantics + analytic eigen33 (survey §4).
+
+Device geometry uses the planar (3, N) component-major layout.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -14,14 +17,14 @@ CFG = small_test_config()
 def test_cell_roundtrip():
     rng = np.random.default_rng(1)
     dims = np.asarray(CFG.dims)
-    coords = rng.integers(0, dims, size=(500, 3)).astype(np.int32)
+    coords = rng.integers(0, dims, size=(500, 3)).astype(np.int32).T
     ids = geometry.cell_id(jnp.asarray(coords), CFG)
     back = geometry.id_to_coords(ids, CFG)
     assert (np.asarray(back) == coords).all()
 
 
 def test_cell_coords_floor_and_center():
-    p = jnp.asarray([[-0.32 + 0.015, 0.0, 0.0]], jnp.float32)
+    p = jnp.asarray([[-0.32 + 0.015], [0.0], [0.0]], jnp.float32)
     c = geometry.cell_coords(p, CFG)
     assert int(c[0, 0]) == 1           # 0.015/0.01 -> cell 1
     ctr = geometry.cell_center(c, CFG)
@@ -37,7 +40,7 @@ def test_valid_points_exclusive_bounds():
         [0.0, b[2], 0.0],
         [0.0, 0.0, b[5]],
         [0.0, 0.0, 0.0],
-    ], jnp.float32)
+    ], jnp.float32).T
     v = np.asarray(geometry.valid_points(pts, CFG))
     assert (v == [False, False, False, False, True]).all()
 
@@ -45,7 +48,7 @@ def test_valid_points_exclusive_bounds():
 def test_valid_coords():
     dims = CFG.dims
     cs = jnp.asarray([[0, 0, 0], [dims[0] - 1, 0, 0], [dims[0], 0, 0],
-                      [-1, 0, 0]], jnp.int32)
+                      [-1, 0, 0]], jnp.int32).T
     v = np.asarray(geometry.valid_coords(cs, CFG))
     assert (v == [True, True, False, False]).all()
 
@@ -65,11 +68,12 @@ def test_projection_matches_reference_formula():
         ab = a - bb
         proj_ref = a - (ap @ ab) / (ab @ ab) * ab
         q_proj, dist = geometry.project_to_axis(
-            jnp.asarray(p - c, jnp.float32), jnp.asarray(n, jnp.float32))
-        np.testing.assert_allclose(np.asarray(q_proj) + c, proj_ref,
+            jnp.asarray((p - c)[:, None], jnp.float32),
+            jnp.asarray(n[:, None], jnp.float32))
+        np.testing.assert_allclose(np.asarray(q_proj)[:, 0] + c, proj_ref,
                                    atol=1e-6)
         np.testing.assert_allclose(
-            float(dist), np.linalg.norm(p - proj_ref), atol=1e-6)
+            float(dist[0]), np.linalg.norm(p - proj_ref), atol=1e-6)
 
 
 def test_transform_points():
@@ -82,9 +86,9 @@ def test_transform_points():
         [np.sin(theta), np.cos(theta), 0],
         [0, 0, 1]], np.float32)
     pose[:3, 3] = [0.1, -0.2, 0.3]
-    out = geometry.transform_points(jnp.asarray(pts), jnp.asarray(pose))
+    out = geometry.transform_points(jnp.asarray(pts.T), jnp.asarray(pose))
     ref = pts @ pose[:3, :3].T + pose[:3, 3]
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out).T, ref, atol=1e-5)
 
 
 def test_eigen33_vs_numpy():

@@ -1,0 +1,124 @@
+"""State-machine + end-to-end tests for FusionSession (survey §4: the
+start/stop/process/reset contract of the reference control plane)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from hifi_fusion_tpu.config import small_test_config
+from hifi_fusion_tpu.io import pcd
+from hifi_fusion_tpu.runtime.decode import make_cloud_frame
+from hifi_fusion_tpu.runtime.session import FusionSession
+from hifi_fusion_tpu.runtime.sources import SyntheticSource
+
+CFG = small_test_config(refine_every=2)
+
+
+def test_frames_gated_until_start(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        src = list(SyntheticSource(CFG, 2, 300, seed=0))
+        # not started: frames rejected (FUSION.cpp:331 gating)
+        assert sess.push_frame(*src[0]) is False
+        sess.start()
+        assert sess.push_frame(*src[0]) is True
+        sess.drain()
+        m = sess.metrics()
+        assert m["frames_integrated"] == 1
+        assert m["frames_received"] == 2
+
+
+def test_stop_drains_inflight(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.start()
+        for frame, pose in SyntheticSource(CFG, 3, 300, seed=1):
+            sess.push_frame(frame, pose)
+        sess.stop()
+        assert sess.drain()
+        # queued frames still integrated after stop (FUSION.cpp:369-375)
+        assert sess.metrics()["frames_integrated"] == 3
+
+
+def test_process_exports_and_clears(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.run_source(SyntheticSource(CFG, 5, 600, seed=2))
+        result = sess.process()
+        assert result["n_points"] > 100
+        assert os.path.exists(result["cloud"])
+        assert os.path.exists(result["metadata"])
+        fields, n = pcd.read_pcd(result["cloud"])
+        assert n == result["n_points"]
+        meta = pcd.read_metadata_csv(result["metadata"])
+        assert meta["id"].shape[0] == n
+        # grid cleared: a second immediate process exports nothing
+        result2 = sess.process(cloud_name="again.pcd", meta_name="again.csv")
+        assert result2["n_points"] == 0
+
+
+def test_reset_parity_and_full(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.run_source(SyntheticSource(CFG, 3, 500, seed=3))
+        occ = sess.metrics()["occupied_voxels"]
+        assert occ > 0
+        # parity reset: grid survives (FUSION.cpp:351-359)
+        sess.reset()
+        assert sess.metrics()["occupied_voxels"] == occ
+        assert sess._started is False
+        # full reset: grid cleared (fixed semantics)
+        sess.reset(full=True)
+        assert sess.metrics()["occupied_voxels"] == 0
+
+
+def test_pose_provider_failure_drops_frame(tmp_path):
+    calls = {"n": 0}
+
+    def flaky_pose(frame):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("tf lookup failed")
+        return np.eye(4)
+
+    with FusionSession(CFG, output_dir=str(tmp_path),
+                       pose_provider=flaky_pose) as sess:
+        sess.start()
+        xyz = np.zeros((10, 3), np.float32)
+        frame = make_cloud_frame(xyz)
+        assert sess.push_frame(frame) is False     # dropped, not raised
+        assert sess.push_frame(frame) is True
+        sess.drain()
+        m = sess.metrics()
+        assert m["pose_failures"] == 1
+        assert m["frames_integrated"] == 1
+
+
+def test_backpressure_drops_oldest(tmp_path):
+    with FusionSession(small_test_config(refine_every=0),
+                       output_dir=str(tmp_path), queue_depth=2) as sess:
+        # worker can't keep up instantaneously; overflow must be counted,
+        # never raised
+        sess.start()
+        src = list(SyntheticSource(CFG, 6, 100, seed=4))
+        for frame, pose in src:
+            sess.push_frame(frame, pose)
+        sess.drain()
+        m = sess.metrics()
+        assert (m["frames_integrated"]
+                + m["frames_dropped_backpressure"]) == 6
+
+
+def test_save_load_state(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.run_source(SyntheticSource(CFG, 4, 500, seed=5))
+        p = str(tmp_path / "ckpt.npz")
+        sess.save_state(p)
+        r1 = sess.process()
+        # restore and re-process: identical export
+        sess.load_state(p)
+        r2 = sess.process(cloud_name="restored.pcd",
+                          meta_name="restored.csv")
+        assert r1["n_points"] == r2["n_points"]
+        f1, _ = pcd.read_pcd(r1["cloud"])
+        f2, _ = pcd.read_pcd(r2["cloud"])
+        np.testing.assert_array_equal(f1["x"], f2["x"])
+        np.testing.assert_array_equal(f1["normal_z"], f2["normal_z"])
