@@ -58,8 +58,17 @@ class FusionConfig:
     buffer_capacity_log2: int = 21    # global pre-normal point buffer B
     max_dependants: int = 12          # per-voxel dependant fan-in bound D
     max_refine_candidates: int = 65536  # voxels refined per pass (U_max)
+    # sort-compaction bounds (see ops/scatter.py for why these exist):
+    max_unique_per_frame: int = 1 << 17  # distinct cells hit per frame
+    max_hits_per_frame: int = 1 << 20    # cylinder hits streamed per frame
+    max_hit_voxels: int = 1 << 17        # distinct owners hit per frame
+    max_replay_active: int = 1 << 22     # buffer lanes replayed per refine
+    max_replay_hits: int = 1 << 22       # replay cylinder-hit lanes kept
 
     # ---- behavior ----
+    use_pallas: bool = True           # fused Pallas frontend kernel on TPU
+                                      # (transform+clip+cellid; falls back to
+                                      # the identical pure-XLA path off-TPU)
     store_color: bool = True          # accumulate per-voxel mean color
                                       # (reference decodes RGB but drops it:
                                       #  FUSION.cpp:204-212 vs GRID.hpp:456-601)
@@ -98,6 +107,16 @@ class FusionConfig:
         return (self.bbox[0], self.bbox[2], self.bbox[4])
 
     @property
+    def scatter_tail(self) -> int:
+        """Scratch-tail slots appended to every scatter-target grid array;
+        must cover the largest masked-scatter batch (ops/scatter.py)."""
+        return max(self.max_points,
+                   self.n_line * self.max_refine_candidates,
+                   self.max_unique_per_frame,
+                   self.max_hit_voxels,
+                   self.max_replay_hits // 4)
+
+    @property
     def n_offsets(self) -> int:
         k = self.k_neighborhood
         return (2 * k + 1) ** 3
@@ -130,6 +149,13 @@ def small_test_config(**overrides) -> FusionConfig:
         max_dependants=12,
         max_refine_candidates=4096,
         z_clip=(-10.0, 10.0),
+        # generous compaction bounds: tests must never truncate, so that
+        # oracle parity stays exact
+        max_unique_per_frame=4096,
+        max_hits_per_frame=1 << 16,
+        max_hit_voxels=1 << 14,
+        max_replay_active=1 << 15,     # == buffer capacity: full coverage
+        max_replay_hits=1 << 17,
     )
     base.update(overrides)
     return FusionConfig(**base).validate()

@@ -1,0 +1,258 @@
+"""TSDF-weighted fusion variant (BASELINE.json config 5).
+
+A second model family sharing the framework's spatial-hash substrate: instead
+of the reference's occupancy + cylinder-filter pipeline, each depth sample
+carves a truncated signed-distance profile along its camera ray and voxels
+accumulate *weighted averages* of signed distance — the classic
+KinectFusion/TSDF formulation, restated TPU-first:
+
+* Per point, S samples are placed along the ray through the point at signed
+  offsets s in [-trunc, +trunc]; the sample's voxel accumulates
+  ``(w, w * (-s))``.  Sums commute -> integration is order-independent.
+* Updates follow the framework's sorted-scatter discipline (ops/scatter.py):
+  all S*N ray samples are sorted by cell id once, segment-reduced, and the
+  per-cell sums land in TWO sorted-unique scatters — no random scatter.
+* Surface extraction masks voxels with weight >= w_min and |tsdf| < band,
+  estimates the normal from the TSDF gradient via 6-neighbor hash lookups,
+  and refines each centroid by projecting the cell center onto the implicit
+  surface: centroid = center - tsdf * normal — the TSDF analog of the main
+  pipeline's cylinder-filtered sub-voxel centroid.
+
+Runs at sub-mm pitch within the same capacity budgeting.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..ops import geometry, hashing
+from ..ops.scatter import (scatter_add, segment_ends, segment_starts,
+                           segment_sums)
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+class TsdfConfig(NamedTuple):
+    base: FusionConfig
+    truncation: float = 0.004      # truncation band tau (m)
+    n_samples: int = 9             # samples along the ray inside +-tau
+    min_weight: float = 3.0        # extraction weight gate
+    surface_band: float = 1.0      # |tsdf| < surface_band * res -> surface
+
+
+class TsdfGrid(NamedTuple):
+    key: jax.Array        # (C+T,)  i32 dense cell id, -1 empty
+    vstats: jax.Array     # flat 6  f32 [Σw, Σw*sdf, Σr, Σg, Σb, n_rgb]
+    overflow_probe: jax.Array  # () i32
+    overflow_unique: jax.Array  # () i32
+    frames: jax.Array     # ()   i32
+
+
+def _tail(config: TsdfConfig) -> int:
+    # insert batches are per-frame-unique sample cells
+    return max(config.base.scatter_tail,
+               min(config.n_samples * config.base.max_points,
+                   4 * config.base.max_unique_per_frame))
+
+
+def make_tsdf_grid(config: TsdfConfig) -> TsdfGrid:
+    C = config.base.capacity
+    T = _tail(config)
+    return TsdfGrid(
+        key=jnp.full((C + T,), -1, jnp.int32),
+        vstats=jnp.zeros((6 * (C + T),), jnp.float32),
+        overflow_probe=jnp.zeros((), jnp.int32),
+        overflow_unique=jnp.zeros((), jnp.int32),
+        frames=jnp.zeros((), jnp.int32),
+    )
+
+
+def integrate_tsdf_impl(grid: TsdfGrid, points_cam, rgb, mask, pose,
+                        *, config: TsdfConfig) -> TsdfGrid:
+    cfg = config.base
+    C = cfg.capacity
+    S = config.n_samples
+    tau = config.truncation
+    N = mask.shape[0]
+    M = S * N
+    U = min(4 * cfg.max_unique_per_frame, M)
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    zmin, zmax = cfg.z_clip
+    zclip = (points_cam[2] > zmin) & (points_cam[2] < zmax)
+    world = geometry.transform_points(points_cam, pose)        # (3,N)
+    vp = pose[:3, 3]
+
+    ray = world - vp[:, None]
+    dist = jnp.sqrt(jnp.sum(ray * ray, axis=0))
+    dirn = ray / jnp.maximum(dist, 1e-6)[None, :]
+
+    s = jnp.linspace(-tau, tau, S, dtype=f32)                  # (S,)
+    pos = world[:, None, :] + s[None, :, None] * dirn[:, None, :]  # (3,S,N)
+    coords = geometry.cell_coords(pos, cfg)
+    valid = (mask[None, :] & zclip[None, :]
+             & geometry.valid_points(pos, cfg)
+             & geometry.valid_coords(coords, cfg))             # (S,N)
+    ids = geometry.cell_id(coords, cfg)
+
+    # lane values: weight 1, sdf = -s (positive in free space toward the
+    # camera); color only on the surface sample (s == 0 -> row S//2)
+    sdf = jnp.broadcast_to((-s)[:, None], (S, N))
+    is_mid = jnp.zeros((S, N), jnp.bool_).at[S // 2].set(True)
+    w = valid.astype(f32)
+    cm = (valid & is_mid).astype(f32)
+    vals6 = jnp.stack([
+        w, w * sdf,
+        cm * rgb[0][None, :], cm * rgb[1][None, :], cm * rgb[2][None, :],
+        cm,
+    ], axis=0).reshape(6, M)                                   # (6,M)
+
+    # ---- sort all ray samples by cell id; segment-reduce ----------------
+    skey = jnp.where(valid, ids, _BIG).reshape(-1)             # (M,)
+    order = jnp.argsort(skey, stable=True)
+    sid = skey[order]
+    svalid = sid != _BIG
+    starts = segment_starts(sid, svalid)
+    ends = segment_ends(sid, svalid)
+    sums6 = segment_sums(vals6[:, order], starts)
+    n_u = jnp.sum(starts.astype(i32))
+    overflow_unique = grid.overflow_unique + jnp.maximum(n_u - U, 0)
+
+    uorder = jnp.argsort(~starts, stable=True)[:U]
+    uids = sid[uorder]
+    uvalid = starts[uorder]
+    eorder = jnp.argsort(~ends, stable=True)[:U]
+    usums = sums6[:, eorder]                                   # (6,U)
+
+    key_table, uslot, n_failed = hashing.lookup_or_insert(
+        grid.key, uids, uvalid, cfg.max_probes, C)
+
+    sorder = jnp.argsort(jnp.where(uvalid & (uslot >= 0), uslot, _BIG),
+                         stable=True)
+    g_slot = uslot[sorder]
+    g_valid = (uvalid & (uslot >= 0))[sorder]
+    g_sums = usums[:, sorder]
+    vstats = scatter_add(grid.vstats, g_slot, g_valid,
+                         [g_sums[r] for r in range(6)], C)
+
+    return grid._replace(
+        key=key_table, vstats=vstats,
+        overflow_probe=grid.overflow_probe + n_failed,
+        overflow_unique=overflow_unique,
+        frames=grid.frames + 1,
+    )
+
+
+class TsdfExtract(NamedTuple):
+    n_valid: jax.Array    # ()
+    cell: jax.Array       # (C,)  sorted dense ids
+    centroid: jax.Array   # (3,C) surface-projected position
+    normal: jax.Array     # (3,C) TSDF-gradient normal
+    tsdf: jax.Array       # (C,)  weighted mean signed distance
+    weight: jax.Array     # (C,)
+    rgb: jax.Array        # (3,C)
+
+
+def extract_tsdf_impl(grid: TsdfGrid, *, config: TsdfConfig) -> TsdfExtract:
+    cfg = config.base
+    C = cfg.capacity
+    res = jnp.asarray(cfg.resolution, jnp.float32)
+
+    def row(r, idx):
+        return grid.vstats[idx * 6 + r]
+
+    slots_all = jnp.arange(C, dtype=jnp.int32)
+    w_all = row(0, slots_all)
+    tsdf_all = row(1, slots_all) / jnp.maximum(w_all, 1e-9)
+    key = grid.key[:C]
+    surface = ((key >= 0) & (w_all >= config.min_weight)
+               & (jnp.abs(tsdf_all) < config.surface_band * res[0]))
+    n_valid = jnp.sum(surface.astype(jnp.int32))
+
+    sort_key = jnp.where(surface, key, _BIG)
+    order = jnp.argsort(sort_key)
+    cell = sort_key[order]
+    coords = geometry.id_to_coords(jnp.maximum(cell, 0), cfg)  # (3,C)
+    center = geometry.cell_center(coords, cfg)
+
+    # TSDF gradient by 6-neighbor central differences (hash lookups);
+    # falls back to one-sided where a neighbor is missing.
+    t_here = tsdf_all[order]
+
+    def axis_grad(axis):
+        e = jnp.zeros((3, 1), jnp.int32).at[axis, 0].set(1)
+        grads = []
+        for sign in (1, -1):
+            cc = coords + sign * e
+            ok = geometry.valid_coords(cc, cfg)
+            sl = hashing.lookup(grid.key, geometry.cell_id(cc, cfg), ok,
+                                cfg.max_probes, C)
+            safe = jnp.clip(sl, 0, C - 1)
+            has = (sl >= 0) & (row(0, safe) > 0)
+            val = jnp.where(has,
+                            row(1, safe) / jnp.maximum(row(0, safe), 1e-9),
+                            t_here)
+            grads.append((val, has))
+        (fp, okp), (fm, okm) = grads
+        span = (okp.astype(jnp.float32)
+                + okm.astype(jnp.float32)) * res[axis]
+        return (fp - fm) / jnp.maximum(span, 1e-9)
+
+    gx, gy, gz = axis_grad(0), axis_grad(1), axis_grad(2)
+    gnorm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    ok = gnorm > 1e-9
+    inv = 1.0 / jnp.where(ok, gnorm, 1.0)
+    normal = jnp.stack([gx * inv, gy * inv,
+                        jnp.where(ok, gz * inv, 1.0)], axis=0)  # (3,C)
+
+    centroid = center - t_here[None, :] * normal
+
+    nrgb = jnp.maximum(row(5, jnp.clip(order, 0, C - 1)), 1.0)
+    rgb = jnp.stack([row(2 + r, order) for r in range(3)], 0) / nrgb[None]
+
+    return TsdfExtract(
+        n_valid=n_valid, cell=cell, centroid=centroid, normal=normal,
+        tsdf=t_here, weight=w_all[order], rgb=rgb)
+
+
+integrate_tsdf = partial(jax.jit, static_argnames=("config",),
+                         donate_argnames=("grid",))(integrate_tsdf_impl)
+extract_tsdf = partial(jax.jit,
+                       static_argnames=("config",))(extract_tsdf_impl)
+
+
+class TsdfPipeline:
+    """Convenience bundle mirroring FusionPipeline for the TSDF family."""
+
+    def __init__(self, config: TsdfConfig):
+        config.base.validate()
+        self.config = config
+
+    def init(self) -> TsdfGrid:
+        return make_tsdf_grid(self.config)
+
+    def step(self, grid, points_cam, rgb, mask, pose) -> TsdfGrid:
+        return integrate_tsdf(grid, points_cam, rgb, mask, pose,
+                              config=self.config)
+
+    def extract(self, grid) -> TsdfExtract:
+        return extract_tsdf(grid, config=self.config)
+
+
+def tsdf_to_host(result: TsdfExtract) -> dict:
+    import numpy as np
+    n = int(result.n_valid)
+    return {
+        "cell": np.asarray(result.cell[:n]),
+        "centroid": np.asarray(result.centroid[:, :n]).T,
+        "normal": np.asarray(result.normal[:, :n]).T,
+        "tsdf": np.asarray(result.tsdf[:n]),
+        "weight": np.asarray(result.weight[:n]),
+        "rgb": np.asarray(result.rgb[:, :n]).T,
+    }

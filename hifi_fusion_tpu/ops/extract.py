@@ -16,7 +16,8 @@ reference's x-major emission order), and emit finalized statistics:
   ``mean_dist`` — we define it as 0 for count==0)
 * normal, count, mean rgb.
 
-Vector outputs are planar (3, C); host code slices ``n_valid`` columns and
+Reads the flat slot-major grid fields (grid.py) with per-component gathers;
+vector outputs are planar (3, C).  Host code slices ``n_valid`` columns and
 writes PCD/CSV (hifi_fusion_tpu.io).
 """
 
@@ -54,14 +55,15 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     lies in [lo, hi) — used by the sharded path so each device emits only
     its core slab (halo copies are suppressed)."""
     C = config.capacity
-    mask = grid.occupied & grid.normal_found
+    key = grid.key[:C]
+    mask = grid.occupied[:C] & grid.normal_found[:C]
     if x_range is not None:
         _, dy, dz = config.dims
-        cx = grid.key // (dy * dz)
+        cx = key // (dy * dz)
         mask = mask & (cx >= x_range[0]) & (cx < x_range[1])
     n_valid = jnp.sum(mask.astype(jnp.int32))
 
-    sort_key = jnp.where(mask, grid.key, _I32_MAX)
+    sort_key = jnp.where(mask, key, _I32_MAX)
     order = jnp.argsort(sort_key)
     cell = sort_key[order]
 
@@ -70,7 +72,7 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
 
     cnt = grid.count[order]
     cnt_f = jnp.maximum(cnt.astype(jnp.float32), 1.0)      # (C,)
-    stats = grid.cyl_stats[:, order]                       # (8,C)
+    stats = jnp.stack([grid.cyl_stats[order * 8 + r] for r in range(8)], 0)
     mean_q = stats[0:3] / cnt_f
     has = cnt > 0
     centroid = jnp.where(has[None, :], center + mean_q, 0.0)
@@ -78,21 +80,22 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     mean_d = jnp.where(has, stats[6] / cnt_f, 0.0)
     sd_d = jnp.where(has, stats[7] / cnt_f - mean_d * mean_d, 0.0)
 
-    npts = grid.n_pts[order]
-    np_f = jnp.maximum(npts.astype(jnp.float32), 1.0)
-    rgb = grid.rgb_sum[:, order] / np_f[None, :]
+    pstats = jnp.stack([grid.pstats[order * 4 + r] for r in range(4)], 0)
+    npts_f = jnp.maximum(pstats[3], 1.0)
+    rgb = pstats[0:3] / npts_f[None, :]
+    normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
 
     return ExtractResult(
         n_valid=n_valid,
         cell=cell,
         centroid=centroid,
-        normal=grid.normal[:, order],
+        normal=normal,
         sd=sd,
         mean_dist=mean_d,
         sd_dist=sd_d,
         count=cnt,
         rgb=rgb,
-        n_pts=npts,
+        n_pts=pstats[3].astype(jnp.int32),
     )
 
 

@@ -6,11 +6,22 @@ hash ids (OccupancyGrid.hpp:151-165).  Keys here are *dense cell ids*
 ``x<<40 ^ y<<20 ^ z`` packing, but int32-friendly for TPUs; configs must keep
 ``n_cells < 2^31`` per shard — FusionConfig.validate enforces this).
 
-Insertion is batched and *deterministic*: when several distinct keys race for
-one empty slot, the smallest key wins the claim (a scatter-min election), the
-losers re-probe.  Duplicate keys in the same batch all resolve to one slot.
-The probe loop is a ``lax.while_loop`` with an early-exit condition so the
-typical cost is ~1-2 rounds at load factors <= 0.5.
+The key table is sized ``capacity + scatter_tail``: probing happens in the
+first ``capacity`` slots; the tail absorbs masked-lane writes from the
+sorted-unique scatter discipline (see ops/scatter.py — random scatter on TPU
+is ~1000x slower than sorted scatter, so insertion is implemented with a
+per-round *sort election* instead of a scatter-min claim):
+
+1. round candidates ``cand = (h(id)+j) & (C-1)``; lanes whose slot already
+   holds their id resolve;
+2. lanes seeing an empty slot stable-sort by candidate; the first lane of
+   each candidate run wins (deterministic: input order breaks ties);
+3. winners are compacted to a prefix (stable, so candidates stay sorted) and
+   written with ONE sorted-unique scatter;
+4. all contending lanes re-read the slot — winners see their own id.
+
+With per-frame-deduplicated inputs at load factor <= 0.5 this converges in
+~1-3 rounds; the loop exits early when every lane is resolved.
 """
 
 from __future__ import annotations
@@ -20,7 +31,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_I32_MAX = jnp.iinfo(jnp.int32).max
+from .scatter import scatter_set
+
+_BIG = jnp.iinfo(jnp.int32).max
 
 
 def hash_u32(x: jax.Array) -> jax.Array:
@@ -35,14 +48,9 @@ def hash_u32(x: jax.Array) -> jax.Array:
 
 
 def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
-           max_probes: int) -> jax.Array:
-    """Find slots holding ``ids``. Returns slot index or -1 (absent/inactive).
-
-    Absence is only certain if the table was built with the same probe bound;
-    we probe until an empty slot or ``max_probes``.
-    """
-    C = key_table.shape[0]
-    mask = jnp.uint32(C - 1)
+           max_probes: int, capacity: int) -> jax.Array:
+    """Find slots holding ``ids`` (pure gathers). -1 = absent/inactive."""
+    mask = jnp.uint32(capacity - 1)
     h0 = hash_u32(ids)
     slot0 = jnp.full(ids.shape, -1, jnp.int32)
 
@@ -66,14 +74,18 @@ def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
 
 
 def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
-                     max_probes: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched find-or-insert.
+                     max_probes: int, capacity: int
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched find-or-insert via sort elections.
 
-    Returns ``(new_key_table, slot, n_failed)`` where ``slot[i]`` is the slot
-    now holding ``ids[i]`` (-1 if inactive or the probe bound was exhausted)
-    and ``n_failed`` counts active lanes that could not be placed.
+    ``key_table``: (capacity + tail,) with tail >= len(ids).
+    Returns ``(new_key_table, slot, n_failed)``; duplicate ids in one batch
+    resolve to one slot (losers of the election find the winner's write on
+    the next round).
     """
-    C = key_table.shape[0]
+    C = capacity
+    assert key_table.shape[0] - C >= ids.shape[0], \
+        "key table scatter tail smaller than insert batch"
     mask = jnp.uint32(C - 1)
     h0 = hash_u32(ids)
     slot0 = jnp.full(ids.shape, -1, jnp.int32)
@@ -88,12 +100,23 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         tk = table[cand]
         found = unresolved & (tk == ids)
         empty = unresolved & (tk == -1)
-        # Deterministic election: smallest key claims each contested slot.
-        claim_idx = jnp.where(empty, cand, C)     # out-of-range -> dropped
-        claim = jnp.full((C,), _I32_MAX, jnp.int32)
-        claim = claim.at[claim_idx].min(ids, mode="drop")
-        won = empty & (claim[jnp.clip(cand, 0, C - 1)] == ids)
-        table = table.at[jnp.where(won, cand, C)].set(ids, mode="drop")
+        # ---- sort election over contending lanes ----
+        ckey = jnp.where(empty, cand, _BIG)
+        order = jnp.argsort(ckey, stable=True)
+        scand = ckey[order]
+        contend = scand != _BIG
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), scand[1:] != scand[:-1]])
+        winner = contend & first
+        # compact winners to a prefix (stable -> cands stay ascending)
+        worder = jnp.argsort(~winner, stable=True)
+        wvalid = winner[worder]
+        wcand = scand[worder]
+        wids = ids[order[worder]]
+        table = scatter_set(table, wcand, wvalid, [wids], C)
+        # ---- all contenders re-read; winners see their id ----
+        tk2 = table[cand]
+        won = empty & (tk2 == ids)
         newly = found | won
         slot = jnp.where(newly, cand, slot)
         unresolved = unresolved & ~newly

@@ -1,4 +1,4 @@
-"""Frame integration: fused transform + clip + hash-scatter + cylinder stream.
+"""Frame integration: fused transform + clip + sorted hash-scatter + stream.
 
 One jitted device function replaces the reference's decode thread, transform
 thread and ``OccupancyGrid::addPoints`` hot loop (survey C6+C7+C11;
@@ -13,14 +13,17 @@ FUSION.cpp:218-299, OccupancyGrid.hpp:185-280).  Per frame it:
    each owner's normal axis, 1 mm cylinder gate, centered-sum Welford update
    (reference: OccupancyGrid.hpp:244-277).
 
-All accumulators are sums, so the scatter-adds commute and the result is
-independent of point order — the property that makes the reference's
-"parallelize addPoints" TODO (its commented-out OMP criticals,
-OccupancyGrid.hpp:207-244) actually achievable.
+All accumulators are sums, so updates commute and the result is independent
+of point order — the property that makes the reference's "parallelize
+addPoints" TODO (its commented-out OMP criticals, OccupancyGrid.hpp:207-244)
+actually achievable.
 
-Layout: points are planar (3, N); per-point-per-dependant intermediates are
-(D, N) / (3, D, N) so the minor axis is always the long one (see
-ops/geometry.py on TPU tiling).
+EXECUTION SHAPE (TPU-measured; see ops/scatter.py): the frame is sorted by
+cell id once; every downstream grid update is a segment reduction followed
+by one sorted-unique scatter.  Dependant-stream cylinder hits are compacted
+by a second sort over (point x dependant) lanes.  The only non-gather/sort
+heavy ops that remain are O(#unique-cells) scatters — ~milliseconds.
+Layout: planar (3, N) points; flat slot-major grid fields (grid.py).
 """
 
 from __future__ import annotations
@@ -32,7 +35,35 @@ import jax.numpy as jnp
 
 from ..config import FusionConfig
 from ..grid import GridState
-from . import geometry, hashing
+from . import geometry, hashing, pallas_kernels
+from .scatter import (compact_by, scatter_add, scatter_set, segment_ends,
+                      segment_starts, segment_sums)
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+def _frontend(points_cam, mask, pose, config):
+    """Transform + clip + cell id + validity (Pallas on TPU, XLA off-TPU)."""
+    if config.use_pallas and pallas_kernels.frontend_available():
+        return pallas_kernels.transform_clip_cellid(
+            points_cam, mask, pose, config=config)
+    zmin, zmax = config.z_clip
+    zclip = (points_cam[2] > zmin) & (points_cam[2] < zmax)
+    world = geometry.transform_points(points_cam, pose)
+    coords = geometry.cell_coords(world, config)
+    valid = (mask & zclip
+             & geometry.valid_points(world, config)
+             & geometry.valid_coords(coords, config))
+    return world, geometry.cell_id(coords, config), valid
+
+
+def _axis_distance(q, n):
+    """(q_proj, dist) exactly as the oracle computes them: project, subtract,
+    norm — bit-compatible with OracleGrid._cylinder_accumulate."""
+    t = jnp.sum(q * n, axis=0, keepdims=True)
+    q_proj = t * n
+    r = q - q_proj
+    return q_proj, jnp.sqrt(jnp.sum(r * r, axis=0))
 
 
 def integrate_frame_impl(grid: GridState,
@@ -44,76 +75,146 @@ def integrate_frame_impl(grid: GridState,
     C = config.capacity
     D = config.max_dependants
     B = config.buffer_capacity
+    N = mask.shape[0]
+    U = min(config.max_unique_per_frame, N)
+    H = min(config.max_hits_per_frame, D * N)
+    UH = min(config.max_hit_voxels, H)
+    f32 = jnp.float32
+    i32 = jnp.int32
 
-    # --- 1/2: transform + clip masks (FUSION.cpp:251-255, 289) ------------
-    zmin, zmax = config.z_clip
-    zclip = (points_cam[2] > zmin) & (points_cam[2] < zmax)
-    world = geometry.transform_points(points_cam, pose)       # (3,N)
+    world, ids, valid = _frontend(points_cam, mask, pose, config)
     viewpoint = pose[:3, 3]
 
-    coords = geometry.cell_coords(world, config)              # (3,N)
-    valid = (mask & zclip
-             & geometry.valid_points(world, config)
-             & geometry.valid_coords(coords, config))
-    ids = geometry.cell_id(coords, config)                    # (N,)
+    # ---- sort the frame by cell id (invalid lanes last) -----------------
+    skey = jnp.where(valid, ids, _BIG)
+    order = jnp.argsort(skey, stable=True)
+    sid = skey[order]
+    svalid = sid != _BIG
+    world_s = world[:, order]
+    starts = segment_starts(sid, svalid)
+    ends = segment_ends(sid, svalid)
+    seg = jnp.cumsum(starts.astype(i32)) - 1
+    n_u = jnp.sum(starts.astype(i32))
+    overflow_unique = grid.overflow_unique + jnp.maximum(n_u - U, 0)
 
-    # --- 3: find-or-insert into the voxel hash ---------------------------
-    key_table, slot, n_failed = hashing.lookup_or_insert(
-        grid.key, ids, valid, config.max_probes)
-    placed = valid & (slot >= 0)
-    slot_safe = jnp.clip(slot, 0, C - 1)
-    drop = jnp.where(placed, slot, C)          # scatter index, C -> dropped
+    # ---- compact unique cell ids (prefix-packed, ascending) -------------
+    uorder = jnp.argsort(~starts, stable=True)[:U]
+    uids = sid[uorder]
+    uvalid = starts[uorder]
 
-    occ0 = grid.occupied[slot_safe] & placed   # pre-frame occupancy
-    nf0 = grid.normal_found[slot_safe] & placed
+    # ---- find-or-insert the unique cells --------------------------------
+    key_table, uslot, n_failed = hashing.lookup_or_insert(
+        grid.key, uids, uvalid, config.max_probes, C)
 
-    occupied = grid.occupied.at[drop].set(True, mode="drop")
-    # First-occupancy viewpoint (ghost voxels get re-stamped like the
-    # reference's else-branch overwrite, OccupancyGrid.hpp:229,238).
-    vp_idx = jnp.where(placed & ~occ0, slot, C)
-    vp_rows = jnp.broadcast_to(viewpoint[:, None], world.shape)  # (3,N)
-    viewpoint_arr = grid.viewpoint.at[:, vp_idx].set(vp_rows, mode="drop")
+    segc = jnp.clip(seg, 0, U - 1)
+    slot_s = uslot[segc]
+    placed_s = svalid & (seg < U) & (slot_s >= 0)
+    slot_s = jnp.where(placed_s, slot_s, -1)
 
-    # per-voxel color / hit telemetry (extension; the reference drops color)
+    us = jnp.clip(uslot, 0, C - 1)
+    uplaced = uvalid & (uslot >= 0)
+    uocc0 = uplaced & grid.occupied[us]
+    unf0 = uplaced & grid.normal_found[us]
+    nf0_s = unf0[segc] & placed_s
+
+    # ---- per-unique aggregation: Σrgb + point count ---------------------
+    pmask = placed_s.astype(f32)
     if config.store_color:
-        rgb_sum = grid.rgb_sum.at[:, drop].add(rgb, mode="drop")
+        rgb_rows = jnp.where(placed_s[None, :], rgb[:, order], 0.0)
     else:
-        rgb_sum = grid.rgb_sum
-    n_pts = grid.n_pts.at[drop].add(1, mode="drop")
+        rgb_rows = jnp.zeros((3, N), f32)
+    vals4 = jnp.concatenate([rgb_rows, pmask[None, :]], axis=0)   # (4,N)
+    sum4 = segment_sums(vals4, starts)
+    eorder = jnp.argsort(~ends, stable=True)[:U]
+    esum4 = sum4[:, eorder]          # (4,U) aligned with uids/uslot
 
-    # --- 4: buffer append for pre-normal voxels ---------------------------
-    want_buf = placed & ~nf0
-    local_off = jnp.cumsum(want_buf.astype(jnp.int32)) - 1
-    buf_idx = grid.buf_count + local_off
-    buf_ok = want_buf & (buf_idx < B)
-    bidx = jnp.where(buf_ok, buf_idx, B)
-    buf_pts = grid.buf_pts.at[:, bidx].set(world, mode="drop")
-    buf_slot = grid.buf_slot.at[bidx].set(slot, mode="drop")
-    n_want = jnp.sum(want_buf.astype(jnp.int32))
-    buf_count = jnp.minimum(grid.buf_count + n_want, B)
-    overflow_buf = grid.overflow_buf + (grid.buf_count + n_want - buf_count)
+    # ---- re-sort uniques by slot; all grid writes are sorted+unique -----
+    sorder = jnp.argsort(jnp.where(uplaced, uslot, _BIG), stable=True)
+    g_slot = uslot[sorder]
+    g_valid = uplaced[sorder]
+    g_occ0 = uocc0[sorder]
+    g_sum4 = esum4[:, sorder]
 
-    # --- 5: stream through dependants (OccupancyGrid.hpp:244-277) ---------
-    dep_rows = grid.dep[:, slot_safe]                     # (D,N)
-    dep_cnt = grid.dep_count[slot_safe]                   # (N,)
-    j_idx = jnp.arange(D, dtype=jnp.int32)[:, None]
-    owner_active = (placed[None, :] & (j_idx < dep_cnt[None, :])
-                    & (dep_rows >= 0))                    # (D,N)
-    owner_safe = jnp.clip(dep_rows, 0, C - 1)
-    o_coords = geometry.id_to_coords(key_table[owner_safe], config)  # (3,D,N)
-    o_center = geometry.cell_center(o_coords, config)     # (3,D,N)
-    o_normal = grid.normal[:, owner_safe]                 # (3,D,N)
-    q = world[:, None, :] - o_center
-    q_proj, dist = geometry.project_to_axis(q, o_normal)  # (3,D,N), (D,N)
-    hit = owner_active & (dist < config.cylinder_radius)
+    occupied = scatter_set(grid.occupied, g_slot, g_valid,
+                           [jnp.ones((U,), jnp.bool_)], C)
+    # First-occupancy viewpoint (ghosts re-stamped like the reference's
+    # else-branch overwrite, OccupancyGrid.hpp:229,238).
+    vmask, vslot = compact_by(g_valid & ~g_occ0, g_slot)
+    vp_cols = [jnp.full((U,), viewpoint[r]) for r in range(3)]
+    viewpoint_arr = scatter_set(grid.viewpoint, vslot, vmask, vp_cols, C)
+    pstats = scatter_add(grid.pstats, g_slot, g_valid,
+                         [g_sum4[0], g_sum4[1], g_sum4[2], g_sum4[3]], C)
 
-    stats = jnp.concatenate(
-        [q_proj, q_proj * q_proj, dist[None], (dist * dist)[None]],
-        axis=0)                                           # (8,D,N)
-    owner_drop = jnp.where(hit, dep_rows, C).reshape(-1)  # (D*N,)
-    cyl_stats = grid.cyl_stats.at[:, owner_drop].add(
-        stats.reshape(8, -1), mode="drop")
-    count = grid.count.at[owner_drop].add(1, mode="drop")
+    # ---- buffer append: one contiguous block write ----------------------
+    want_s = placed_s & ~nf0_s
+    n_want = jnp.sum(want_s.astype(i32))
+    border = jnp.argsort(~want_s, stable=True)
+    wv = world_s[:, border]
+    wslot = jnp.where(jnp.arange(N, dtype=i32) < n_want,
+                      slot_s[border], -1)
+    fits = grid.buf_count + N <= B
+
+    def _append(args):
+        bp, bs, bc = args
+        bp = jax.lax.dynamic_update_slice(bp, wv, (0, bc))
+        bs = jax.lax.dynamic_update_slice(bs, wslot, (bc,))
+        return bp, bs
+
+    buf_pts, buf_slot = jax.lax.cond(
+        fits, _append, lambda a: (a[0], a[1]),
+        (grid.buf_pts, grid.buf_slot, grid.buf_count))
+    buf_count = jnp.where(fits, grid.buf_count + n_want, grid.buf_count)
+    overflow_buf = grid.overflow_buf + jnp.where(fits, 0, n_want)
+
+    # ---- dependant streaming (OccupancyGrid.hpp:244-277) ----------------
+    slot_ss = jnp.clip(slot_s, 0, C - 1)
+    dj = jnp.arange(D, dtype=i32)[:, None]
+    dep_g = grid.dep[slot_ss[None, :] * D + dj]            # (D,N)
+    dep_cnt = grid.dep_count[slot_ss]
+    oactive = placed_s[None, :] & (dj < dep_cnt[None, :]) & (dep_g >= 0)
+    osafe = jnp.clip(dep_g, 0, C - 1)
+    o_center = geometry.cell_center(
+        geometry.id_to_coords(key_table[osafe], config), config)  # (3,D,N)
+    o_normal = jnp.stack(
+        [grid.normal[osafe * 3 + r] for r in range(3)], axis=0)
+    q = world_s[:, None, :] - o_center
+    _, dist = _axis_distance(q, o_normal)
+    hit = oactive & (dist < config.cylinder_radius)
+    n_hits = jnp.sum(hit.astype(i32))
+    overflow_hits = grid.overflow_hits + jnp.maximum(n_hits - H, 0)
+
+    # compact hits, grouped by owner slot (flat (D*N,) lane space)
+    hkey = jnp.where(hit, dep_g, _BIG).reshape(-1)
+    horder = jnp.argsort(hkey, stable=True)[:H]
+    howner = hkey[horder]
+    hvalid = howner != _BIG
+    hpt = world_s[:, horder % N]                           # (3,H)
+    hosafe = jnp.clip(howner, 0, C - 1)
+    h_center = geometry.cell_center(
+        geometry.id_to_coords(key_table[hosafe], config), config)
+    h_normal = jnp.stack(
+        [grid.normal[hosafe * 3 + r] for r in range(3)], axis=0)
+    hq = hpt - h_center
+    hqp, hdist = _axis_distance(hq, h_normal)
+    hvalid = hvalid & (hdist < config.cylinder_radius)
+    vals8 = jnp.where(hvalid[None, :], jnp.concatenate(
+        [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None]], axis=0), 0.0)
+    hstarts = segment_starts(howner, hvalid)
+    hends = segment_ends(howner, hvalid)
+    hsum8 = segment_sums(vals8, hstarts)
+    hcnt = segment_sums(hvalid.astype(f32), hstarts)
+    n_uh = jnp.sum(hends.astype(i32))
+    overflow_hits = overflow_hits + jnp.maximum(n_uh - UH, 0)
+    ehorder = jnp.argsort(~hends, stable=True)[:UH]
+    uh_slot = howner[ehorder]
+    uh_valid = hends[ehorder]
+    uh_sum8 = hsum8[:, ehorder]
+    uh_cnt = hcnt[ehorder]
+
+    cyl_stats = scatter_add(grid.cyl_stats, uh_slot, uh_valid,
+                            [uh_sum8[r] for r in range(8)], C)
+    count = scatter_add(grid.count, uh_slot, uh_valid,
+                        [jnp.round(uh_cnt).astype(i32)], C)
 
     return grid._replace(
         key=key_table,
@@ -121,13 +222,14 @@ def integrate_frame_impl(grid: GridState,
         viewpoint=viewpoint_arr,
         count=count,
         cyl_stats=cyl_stats,
-        rgb_sum=rgb_sum,
-        n_pts=n_pts,
+        pstats=pstats,
         buf_pts=buf_pts,
         buf_slot=buf_slot,
         buf_count=buf_count,
         overflow_probe=grid.overflow_probe + n_failed,
         overflow_buf=overflow_buf,
+        overflow_unique=overflow_unique,
+        overflow_hits=overflow_hits,
         frames=grid.frames + 1,
     )
 

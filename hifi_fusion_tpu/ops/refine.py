@@ -8,26 +8,26 @@ line voxel (creating "ghost" voxels where the line leaves occupancy) and
 retroactively pushes each line voxel's buffered points through the cylinder
 filter.
 
-Here the whole pass is one batched device function:
+Here the whole pass is one batched device function built on the sort-centric
+scatter discipline (ops/scatter.py):
 
-* candidate compaction (occupied & !normal_found) with a static bound,
-* neighborhood occupancy via batched hash lookups (125 keys per candidate),
+* candidate compaction (occupied & !normal_found) with a static bound —
+  ``jnp.nonzero(size=U)`` already yields sorted unique slots,
+* neighborhood occupancy via batched hash lookups (gathers — cheap),
 * covariance in *offset space* (translation-invariant, so one shared
-  (12, 125) moment basis turns the PCA accumulation into a single MXU
-  matmul),
-* closed-form eigen33 for the smallest eigenvector (ops/eigen33.py,
-  component form — pure VPU),
-* dependant-table append via sort + segment-rank (deterministic, replaces the
-  reference's sequential ``dependants.push_back``),
-* retroactive buffer replay vectorized over (new-dep slot x buffer lane).
+  (9, 125) moment basis turns the PCA accumulation into one MXU matmul),
+* closed-form eigen33 (component form, pure VPU),
+* dependant-table append: pairs sorted by line slot; ranks within segments
+  give each link its slot-major position, so the table write is a single
+  ascending-unique scatter,
+* retroactive buffer replay: (dependant-lane x buffer-lane) hits compacted
+  by one sort over the active prefix, segment-reduced per owner, then one
+  sorted-unique scatter.
 
 Parallelizing the pass is semantically exact: within one reference pass,
 processing order only affects ghost creation (where the reference *overwrites*
 an existing ghost's dependants, OccupancyGrid.hpp:443-449 — a leak/link-loss
 bug we fix by appending) — all statistics are consumed from pre-pass state.
-
-Layout: candidate-batched intermediates are (M, U) / (3, M, U) planar — the
-long axis minor (see ops/geometry.py on TPU tiling).
 """
 
 from __future__ import annotations
@@ -42,11 +42,15 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing
 from .eigen33 import smallest_eigenpair_sym
+from .scatter import (compact_by, scatter_add, scatter_set, segment_ends,
+                      segment_starts, segment_sums)
+
+_BIG = jnp.iinfo(jnp.int32).max
 
 
 def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
-    """(3,M) int offsets in the same order as the reference's setK loop
-    (OccupancyGrid.hpp:138-149): i (x) outermost, k (z) innermost."""
+    """(3,M) int offsets of the (2k+1)^3 window (reference setK loop order,
+    OccupancyGrid.hpp:138-149)."""
     k = config.k_neighborhood
     r = np.arange(-k, k + 1)
     grid = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1)
@@ -59,10 +63,15 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     U = config.max_refine_candidates
     K = config.line_k
     L = config.n_line            # 2K+1
+    B = config.buffer_capacity
+    A = min(config.max_replay_active, B)
+    R = min(config.max_replay_hits, D * A)
+    f32 = jnp.float32
+    i32 = jnp.int32
 
-    # --- candidate compaction -------------------------------------------
-    cand_mask = grid.occupied & ~grid.normal_found
-    n_cand = jnp.sum(cand_mask.astype(jnp.int32))
+    # --- candidate compaction (sorted unique slots by construction) ------
+    cand_mask = grid.occupied[:C] & ~grid.normal_found[:C]
+    n_cand = jnp.sum(cand_mask.astype(i32))
     (cand_slot,) = jnp.nonzero(cand_mask, size=U, fill_value=-1)
     cand_ok = cand_slot >= 0
     cslot = jnp.clip(cand_slot, 0, C - 1)
@@ -72,31 +81,31 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     center = geometry.cell_center(coords, config)                 # (3,U)
 
     # --- neighborhood occupancy (OccupancyGrid.hpp:334-349) --------------
-    offsets = jnp.asarray(_neighbor_offsets(config), jnp.int32)   # (3,M)
+    offsets = jnp.asarray(_neighbor_offsets(config), i32)         # (3,M)
     M = offsets.shape[1]
     ncoords = coords[:, None, :] + offsets[:, :, None]            # (3,M,U)
     nvalid = geometry.valid_coords(ncoords, config) & cand_ok[None, :]
     nids = geometry.cell_id(ncoords, config)                      # (M,U)
     nslot = hashing.lookup(grid.key, nids.reshape(-1),
-                           nvalid.reshape(-1), config.max_probes)
+                           nvalid.reshape(-1), config.max_probes, C)
     nslot = nslot.reshape(M, U)
     nocc = (nslot >= 0) & grid.occupied[jnp.clip(nslot, 0, C - 1)] & nvalid
-    total = jnp.sum(nocc.astype(jnp.int32), axis=0)               # (U,)
+    total = jnp.sum(nocc.astype(i32), axis=0)                     # (U,)
     gated = cand_ok & (total >= config.min_neighbors)             # "total>20"
 
     # --- PCA normal over occupied neighbor centers -----------------------
-    # Work in offset space (meters, relative to the candidate's center):
-    # translation-invariant, so all candidates share one (12,M) moment basis
-    # and the accumulation is a single (12,M)x(M,U) MXU matmul.
-    res = jnp.asarray(config.resolution, jnp.float32)
-    off_m = offsets.astype(jnp.float32) * res[:, None]            # (3,M)
+    # Offset space (meters, relative to the candidate's center): shared
+    # (9,M) moment basis -> one (9,M)x(M,U) MXU matmul accumulates all
+    # first and second moments.
+    res = jnp.asarray(config.resolution, f32)
+    off_m = offsets.astype(f32) * res[:, None]                    # (3,M)
     ox, oy, oz = off_m[0], off_m[1], off_m[2]
     basis = jnp.stack([ox, oy, oz,
                        ox * ox, ox * oy, ox * oz,
                        oy * oy, oy * oz, oz * oz], axis=0)        # (9,M)
-    moments = jnp.dot(basis, nocc.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)         # (9,U)
-    tot_f = jnp.maximum(total.astype(jnp.float32), 1.0)           # (U,)
+    moments = jnp.dot(basis, nocc.astype(f32),
+                      preferred_element_type=f32)                 # (9,U)
+    tot_f = jnp.maximum(total.astype(f32), 1.0)
     mx, my, mz = (moments[0] / tot_f, moments[1] / tot_f,
                   moments[2] / tot_f)
     a00 = moments[3] / tot_f - mx * mx
@@ -107,17 +116,20 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     a22 = moments[8] / tot_f - mz * mz
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
-    # Orient toward stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = grid.viewpoint[:, cslot]                                 # (3,U)
+    # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
+    vp = jnp.stack([grid.viewpoint[cslot * 3 + r] for r in range(3)], 0)
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
-    norm_idx = jnp.where(gated, cand_slot, C)
-    normal = grid.normal.at[:, norm_idx].set(nvec, mode="drop")
-    normal_found = grid.normal_found.at[norm_idx].set(True, mode="drop")
+    # cand_slot is ascending-unique with a -1 suffix -> directly scatterable
+    gmask, gslot, gnx, gny, gnz = compact_by(
+        gated, cand_slot, nvec[0], nvec[1], nvec[2])
+    normal = scatter_set(grid.normal, gslot, gmask, [gnx, gny, gnz], C)
+    normal_found = scatter_set(grid.normal_found, gslot, gmask,
+                               [jnp.ones((U,), jnp.bool_)], C)
 
     # --- line voxels / ghost creation (OccupancyGrid.hpp:403-450) --------
-    steps = jnp.arange(-K, K + 1, dtype=jnp.float32)              # (L,)
+    steps = jnp.arange(-K, K + 1, dtype=f32)
     # NB: the reference steps by xres_ only (its own TODO at GRID.hpp:391).
     line_pts = (center[:, None, :]
                 + steps[None, :, None] * res[0] * nvec[:, None, :])  # (3,L,U)
@@ -125,63 +137,101 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     lcoords = geometry.cell_coords(line_pts, config)
     lp_valid = lp_valid & geometry.valid_coords(lcoords, config)  # (L,U)
     lids = geometry.cell_id(lcoords, config)
+    # find-or-insert the line cells; fresh slots get only their key ->
+    # ghost semantics (occupied stays False) match the reference's ghost
+    # VoxelInfo (occupied=false, data set).
     key_table, lslot, _ = hashing.lookup_or_insert(
-        grid.key, lids.reshape(-1), lp_valid.reshape(-1), config.max_probes)
-    # Ghost semantics: a fresh slot gets only its key — occupied stays False,
-    # matching the reference's ghost VoxelInfo (occupied=false, data set).
+        grid.key, lids.reshape(-1), lp_valid.reshape(-1),
+        config.max_probes, C)
     lslot = lslot.reshape(L, U)
     pair_ok = lp_valid & (lslot >= 0)
-    # A diagonal normal can revisit the same cell on consecutive steps; the
+    # A diagonal normal can revisit a cell on consecutive steps; the
     # reference registers each visit, so duplicates are kept for parity.
 
-    # --- dependant append: sort by line slot, rank within segment --------
-    flatL = jnp.where(pair_ok, lslot, jnp.int32(C)).reshape(-1)   # (L*U,)
+    # --- dependant append: sort pairs by line slot, rank within runs -----
+    flatL = jnp.where(pair_ok, lslot, _BIG).reshape(-1)           # (L*U,)
     flatO = jnp.broadcast_to(cand_slot[None, :], (L, U)).reshape(-1)
     order = jnp.argsort(flatL, stable=True)
     sL = flatL[order]
     sO = flatO[order]
-    s_ok = sL < C
-    idx = jnp.arange(sL.shape[0], dtype=jnp.int32)
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sL[1:] != sL[:-1]])
-    seg_start = jnp.where(boundary, idx, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
-    rank = idx - seg_start
+    s_ok = sL != _BIG
+    idx = jnp.arange(sL.shape[0], dtype=i32)
+    pstarts = segment_starts(sL, s_ok)
+    seg_start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(pstarts, idx, 0))
+    rank = idx - seg_start_idx
     sL_safe = jnp.clip(sL, 0, C - 1)
     pos = grid.dep_count[sL_safe] + rank
     write_ok = s_ok & (pos < D)
-    wL = jnp.where(write_ok, sL, C)
-    dep_count_old = grid.dep_count
-    dep = grid.dep.at[jnp.clip(pos, 0, D - 1), wL].set(sO, mode="drop")
-    dep_count = grid.dep_count.at[wL].add(1, mode="drop")
     overflow_dep = grid.overflow_dep + jnp.sum(
-        (s_ok & ~write_ok).astype(jnp.int32))
+        (s_ok & ~write_ok).astype(i32))
+    # dep element index = slot*D + pos: ascending (sL sorted, rank ascends
+    # within each run) and unique -> compact and scatter in one go.
+    wmask, wL, wpos, wO = compact_by(write_ok, sL, pos, sO)
+    dep_idx = jnp.where(wmask, wL * D + jnp.clip(wpos, 0, D - 1),
+                        D * C + jnp.arange(wL.shape[0], dtype=i32))
+    dep = grid.dep.at[dep_idx].set(wO, indices_are_sorted=True,
+                                   unique_indices=True)
+    # per-line-slot added-link counts at segment ends
+    pends = segment_ends(sL, s_ok)
+    padded = segment_sums(write_ok.astype(f32), pstarts)
+    emask, eL, ecnt = compact_by(pends, sL, padded)
+    dep_count_old = grid.dep_count
+    dep_count = scatter_add(grid.dep_count, eL, emask,
+                            [jnp.round(ecnt).astype(i32)], C)
 
     # --- retroactive buffer replay (OccupancyGrid.hpp:418-440) -----------
-    # For every buffered point whose voxel just gained new dependants,
-    # project it onto each new owner's axis and accumulate on a hit.
-    Dj = jnp.arange(D, dtype=jnp.int32)[:, None]
-    bslot = grid.buf_slot                                          # (B,)
-    b_ok = bslot >= 0
-    bs = jnp.clip(bslot, 0, C - 1)
-    is_new = (b_ok[None, :] & (Dj >= dep_count_old[bs][None, :])
-              & (Dj < dep_count[bs][None, :]))                     # (D,B)
-    owner = dep[:, bs]                                             # (D,B)
-    is_new = is_new & (owner >= 0)
-    o_safe = jnp.clip(owner, 0, C - 1)
-    o_center = geometry.cell_center(
-        geometry.id_to_coords(key_table[o_safe], config), config)  # (3,D,B)
-    o_normal = normal[:, o_safe]                                   # (3,D,B)
-    q = grid.buf_pts[:, None, :] - o_center
-    q_proj, dist = geometry.project_to_axis(q, o_normal)
-    hit = is_new & (dist < config.cylinder_radius)
-    stats = jnp.concatenate(
-        [q_proj, q_proj * q_proj, dist[None], (dist * dist)[None]],
-        axis=0)                                                    # (8,D,B)
-    owner_drop = jnp.where(hit, owner, C).reshape(-1)
-    cyl_stats = grid.cyl_stats.at[:, owner_drop].add(
-        stats.reshape(8, -1), mode="drop")
-    count = grid.count.at[owner_drop].add(1, mode="drop")
+    # 1. compact buffer lanes whose voxel gained new dependants
+    bslot = grid.buf_slot
+    bsafe = jnp.clip(bslot, 0, C - 1)
+    gained = (bslot >= 0) & (dep_count[bsafe] > dep_count_old[bsafe])
+    aorder = jnp.argsort(~gained, stable=True)[:A]
+    a_slot = bslot[aorder]
+    a_ok = gained[aorder]
+    a_safe = jnp.clip(a_slot, 0, C - 1)
+    a_pts = grid.buf_pts[:, aorder]                               # (3,A)
+    n_gained = jnp.sum(gained.astype(i32))
+    overflow_replay = jnp.maximum(n_gained - A, 0)
+
+    # 2. expand to (D,A) lanes over each lane's NEW dependants
+    dj = jnp.arange(D, dtype=i32)[:, None]
+    r_owner = dep[a_safe[None, :] * D + dj]                       # (D,A)
+    r_new = (a_ok[None, :] & (dj >= dep_count_old[a_safe][None, :])
+             & (dj < dep_count[a_safe][None, :]) & (r_owner >= 0))
+    # 3. compact hit lanes grouped by owner slot
+    rkey = jnp.where(r_new, r_owner, _BIG).reshape(-1)            # (D*A,)
+    rorder = jnp.argsort(rkey, stable=True)[:R]
+    rowner = rkey[rorder]
+    rvalid = rowner != _BIG
+    n_rlanes = jnp.sum(r_new.astype(i32))
+    overflow_replay = overflow_replay + jnp.maximum(n_rlanes - R, 0)
+    r_pt = a_pts[:, rorder % A]                                   # (3,R)
+    rsafe = jnp.clip(rowner, 0, C - 1)
+    r_center = geometry.cell_center(
+        geometry.id_to_coords(key_table[rsafe], config), config)
+    r_normal = jnp.stack([normal[rsafe * 3 + r] for r in range(3)], 0)
+    rq = r_pt - r_center
+    t = jnp.sum(rq * r_normal, axis=0, keepdims=True)
+    rqp = t * r_normal
+    rr = rq - rqp
+    rdist = jnp.sqrt(jnp.sum(rr * rr, axis=0))
+    rhit = rvalid & (rdist < config.cylinder_radius)
+    vals8 = jnp.where(rhit[None, :], jnp.concatenate(
+        [rqp, rqp * rqp, rdist[None], (rdist * rdist)[None]], axis=0), 0.0)
+    rstarts = segment_starts(rowner, rvalid)
+    rends = segment_ends(rowner, rvalid)
+    rsum8 = segment_sums(vals8, rstarts)
+    rcnt = segment_sums(rhit.astype(f32), rstarts)
+    UH = min(config.max_hit_voxels, R)
+    eorder2 = jnp.argsort(~rends, stable=True)[:UH]
+    eo_slot = rowner[eorder2]
+    emask2 = rends[eorder2]
+    esum8 = rsum8[:, eorder2]
+    ecnt2 = rcnt[eorder2]
+    cyl_stats = scatter_add(grid.cyl_stats, eo_slot, emask2,
+                            [esum8[r] for r in range(8)], C)
+    count = scatter_add(grid.count, eo_slot, emask2,
+                        [jnp.round(ecnt2).astype(i32)], C)
 
     return grid._replace(
         key=key_table,
@@ -193,6 +243,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
         count=count,
         overflow_dep=overflow_dep,
         overflow_refine=overflow_refine,
+        overflow_hits=grid.overflow_hits + overflow_replay,
     )
 
 

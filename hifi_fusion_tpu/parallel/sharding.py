@@ -67,13 +67,13 @@ from ..ops.extract import ExtractResult, extract_impl
 from ..ops.integrate import integrate_frame_impl
 from ..ops.refine import refine_pass_impl
 
-# planar (k, C)/(k, B) grid fields are sharded along their *minor* axis
-_PLANAR_GRID_FIELDS = ("normal", "viewpoint", "cyl_stats", "rgb_sum",
-                       "dep", "buf_pts")
+# the only remaining 2-D grid field (flat slot-major arrays are 1-D)
+_PLANAR_GRID_FIELDS = ("buf_pts",)
 _PLANAR_EXTRACT_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 _SCALAR_FIELDS = ("buf_count", "overflow_probe", "overflow_buf",
-                  "overflow_dep", "overflow_refine", "frames")
+                  "overflow_dep", "overflow_refine", "overflow_unique",
+                  "overflow_hits", "frames")
 
 
 def _unwrap(g: GridState) -> GridState:
@@ -102,7 +102,9 @@ class ShardedFusion:
         self.mesh = Mesh(np.asarray(devices), ("x",))
         xdim = config.dims[0]
         self.slab_w = -(-xdim // self.n)        # ceil
-        self.halo = config.k_neighborhood + config.line_k
+        # +1 guards against 1-ulp cell-assignment disagreement between the
+        # slab mask's XLA arithmetic and the Pallas frontend at cell edges
+        self.halo = config.k_neighborhood + config.line_k + 1
         cfg = self.config
         W, halo = self.slab_w, self.halo
 
@@ -209,16 +211,19 @@ class ShardedFusion:
         return ShardedExtract(r, self.n, self.config.capacity)
 
     def metrics(self, grid) -> dict:
-        occ = int(jnp.sum(grid.occupied))
-        used = int(jnp.sum(grid.key != -1))
+        C = self.config.capacity
+        key2 = grid.key.reshape(self.n, -1)[:, :C]
+        occ2 = grid.occupied.reshape(self.n, -1)[:, :C]
+        nf2 = grid.normal_found.reshape(self.n, -1)[:, :C]
+        occ = int(jnp.sum(occ2))
+        used = int(jnp.sum(key2 != -1))
         return {
             "devices": self.n,
             "occupied_voxels_incl_halo": occ,
             "slots_used": used,
-            "hash_load_factor_max": float(jnp.max(jnp.sum(
-                (grid.key != -1).reshape(self.n, -1), axis=1))
-                / self.config.capacity),
-            "normals_found_incl_halo": int(jnp.sum(grid.normal_found)),
+            "hash_load_factor_max": float(
+                jnp.max(jnp.sum(key2 != -1, axis=1)) / C),
+            "normals_found_incl_halo": int(jnp.sum(nf2)),
             "overflow_probe": int(jnp.sum(grid.overflow_probe)),
             "overflow_buffer": int(jnp.sum(grid.overflow_buf)),
             "overflow_dependants": int(jnp.sum(grid.overflow_dep)),

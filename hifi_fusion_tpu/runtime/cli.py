@@ -66,11 +66,15 @@ def cmd_synth(args) -> int:
 
 
 def cmd_fuse(args) -> int:
+    import contextlib
+
+    from ..utils.profiling import trace
     from .session import FusionSession
     from .sources import load_sweep
     cfg = _build_config(args)
     src = load_sweep(args.sweep)
-    with FusionSession(cfg, output_dir=args.output) as sess:
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx, FusionSession(cfg, output_dir=args.output) as sess:
         sess.run_source(src)
         result = sess.process()
         m = sess.metrics()
@@ -78,7 +82,8 @@ def cmd_fuse(args) -> int:
                       "cloud": result["cloud"],
                       "metadata": result["metadata"],
                       "frames_integrated": m["frames_integrated"],
-                      "frames_per_s": m["frames_per_s"]}))
+                      "frames_per_s": m["frames_per_s"],
+                      "stage_timers": m["stage_timers"]}))
     return 0
 
 
@@ -179,6 +184,7 @@ def main(argv=None) -> int:
     add_cfg(sp)
     sp.add_argument("--sweep", required=True)
     sp.add_argument("--output", default=".")
+    sp.add_argument("--trace", help="write a jax profiler trace to this dir")
     sp.set_defaults(fn=cmd_fuse)
 
     sp = sub.add_parser("serve", help="run the TCP control plane")

@@ -47,6 +47,7 @@ from ..grid import GridState, grid_metrics
 from ..io import downloads
 from ..models.pipeline import FusionPipeline
 from ..ops.extract import to_host
+from ..utils.profiling import StageTimers, annotate
 from .decode import CloudFrame, decode_frame
 from .sources import Source
 
@@ -76,6 +77,7 @@ class FusionSession:
         self._busy = False
 
         self._grid: GridState = self.pipeline.init()
+        self.timers = StageTimers()
         self._frames_in = 0
         self._frames_integrated = 0
         self._frames_dropped = 0
@@ -125,7 +127,7 @@ class FusionSession:
             host = to_host(self.pipeline.extract(grid))
             n = downloads.download_data(host, cloud_path, meta_path,
                                         ascii_mode=ascii_mode)
-            metrics = grid_metrics(grid)
+            metrics = grid_metrics(grid, self.config)
             # snapshot-and-destroy, but leak-free by construction
             # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
             self._grid = self.pipeline.init()
@@ -184,21 +186,23 @@ class FusionSession:
                 continue
             frame, pose = item
             try:
-                xyz, rgb = decode_frame(
-                    frame, blue_shift_bug=cfg.bug_compat_blue_shift)
-                n = min(xyz.shape[0], cfg.max_points)
-                # planar (3, N_max) device layout (see ops/geometry.py)
-                pts_p = np.zeros((3, cfg.max_points), np.float32)
-                rgb_p = np.zeros((3, cfg.max_points), np.float32)
-                pts_p[:, :n] = xyz[:n].T
-                rgb_p[:, :n] = rgb[:n].T
-                mask = np.zeros(cfg.max_points, bool)
-                mask[:n] = True
-                with self._glock:
-                    self._grid = self.pipeline.step(
-                        self._grid, jnp.asarray(pts_p), jnp.asarray(rgb_p),
-                        jnp.asarray(mask),
-                        jnp.asarray(pose, jnp.float32))
+                with self.timers.stage("decode"), annotate("decode"):
+                    xyz, rgb = decode_frame(
+                        frame, blue_shift_bug=cfg.bug_compat_blue_shift)
+                    n = min(xyz.shape[0], cfg.max_points)
+                    # planar (3, N_max) device layout (see ops/geometry.py)
+                    pts_p = np.zeros((3, cfg.max_points), np.float32)
+                    rgb_p = np.zeros((3, cfg.max_points), np.float32)
+                    pts_p[:, :n] = xyz[:n].T
+                    rgb_p[:, :n] = rgb[:n].T
+                    mask = np.zeros(cfg.max_points, bool)
+                    mask[:n] = True
+                with self.timers.stage("device_step"), annotate("step"):
+                    with self._glock:
+                        self._grid = self.pipeline.step(
+                            self._grid, jnp.asarray(pts_p),
+                            jnp.asarray(rgb_p), jnp.asarray(mask),
+                            jnp.asarray(pose, jnp.float32))
                 now = time.monotonic()
                 if self._t_first is None:
                     self._t_first = now
@@ -230,7 +234,7 @@ class FusionSession:
     # ------------------------------------------------------------------
     def metrics(self) -> Dict:
         with self._glock:
-            m = grid_metrics(self._grid)
+            m = grid_metrics(self._grid, self.config)
         dt = ((self._t_last - self._t_first)
               if (self._t_first is not None
                   and self._t_last is not None
@@ -242,6 +246,7 @@ class FusionSession:
             "pose_failures": self._pose_failures,
             "frames_per_s": ((self._frames_integrated - 1) / dt
                              if dt else None),
+            "stage_timers": self.timers.report(),
         })
         return m
 

@@ -70,7 +70,7 @@ def test_single_frame_occupancy_only():
     """One frame, no refine: grid occupies voxels, nothing extracted yet."""
     frames = make_sweep(CFG, 1, 800, seed=10)
     grid, dev = run_device(CFG, frames, refine_every=100, final_refine=False)
-    m = grid_metrics(grid)
+    m = grid_metrics(grid, CFG)
     assert m["occupied_voxels"] > 50
     assert m["normals_found"] == 0
     assert m["buffered_points"] > 0
@@ -126,7 +126,7 @@ def test_order_invariance_of_stats():
 def test_no_overflows_in_nominal_run():
     frames = make_sweep(CFG, 4, 700, seed=0)
     grid, _ = run_device(CFG, frames)
-    m = grid_metrics(grid)
+    m = grid_metrics(grid, CFG)
     assert m["overflow_probe"] == 0
     assert m["overflow_buffer"] == 0
     assert m["overflow_refine"] == 0
