@@ -44,6 +44,12 @@ def bench_config():
         max_dependants=12,
         refine_every=REFINE_EVERY,
         z_clip=(0.28, 0.6),
+        # ~90-100k distinct 1mm cells per 640x480 frame
+        max_unique_per_frame=1 << 17,
+        max_hits_per_frame=1 << 20,
+        max_hit_voxels=1 << 17,
+        max_replay_active=1 << 22,
+        max_replay_hits=1 << 22,
     ).validate()
 
 
@@ -84,23 +90,24 @@ def run_tpu(cfg, frames):
     mask = jnp.asarray(np.stack([f.mask for f in planar]))
     poses = jnp.asarray(np.stack([f.pose for f in planar]))
 
-    # warmup/compile every program in the timed pipeline
+    # warmup/compile every program in the timed pipeline.
+    # NB: a device->host FETCH is the only reliable barrier through the
+    # axon tunnel (block_until_ready returns early there).
     t0 = time.monotonic()
     g = pipe.run_sweep(pipe.init(), pts, rgb, mask, poses)
     g = pipe.refine(g)
     r = pipe.extract(g)
-    jax.block_until_ready(r.n_valid)
+    n_vox = int(r.n_valid)
     t_compile = time.monotonic() - t0
-    log(f"tpu first run (incl. compile): {t_compile:.1f}s")
+    log(f"tpu first run (incl. compile): {t_compile:.1f}s -> {n_vox} vox")
 
     # steady state
     t0 = time.monotonic()
     g = pipe.run_sweep(pipe.init(), pts, rgb, mask, poses)
     g = pipe.refine(g)
     result = pipe.extract(g)
-    jax.block_until_ready(result.n_valid)
-    dt = time.monotonic() - t0
     n_vox = int(result.n_valid)
+    dt = time.monotonic() - t0
     total_pts = len(frames) * POINTS
     log(f"tpu steady run: {dt:.2f}s  {len(frames)/dt:.1f} frames/s  "
         f"{total_pts/dt/1e6:.1f} Mpts/s  -> {n_vox} voxels")

@@ -1,1 +1,1 @@
-from . import pcd, downloads
+from . import pcd, ply, downloads

@@ -115,7 +115,11 @@ class FusionSession:
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
                 ascii_mode: bool = True) -> Dict:
-        """Drain, export the fused cloud + metadata, clear the grid."""
+        """Drain, export the fused cloud + metadata, clear the grid.
+
+        The cloud format follows the file extension: ``.pcd`` (reference
+        default) or ``.ply``.
+        """
         self.drain()
         os.makedirs(self.output_dir, exist_ok=True)
         cloud_path = os.path.join(self.output_dir, cloud_name)
@@ -125,8 +129,18 @@ class FusionSession:
             if self.final_refine:
                 grid = self.pipeline.refine(grid)
             host = to_host(self.pipeline.extract(grid))
-            n = downloads.download_data(host, cloud_path, meta_path,
-                                        ascii_mode=ascii_mode)
+            if cloud_path.endswith(".ply"):
+                from ..io import ply
+                ply.write_ply(cloud_path, host["centroid"], host["rgb"],
+                              host["normal"], ascii_mode=ascii_mode)
+                from ..io import pcd as _pcd
+                _pcd.write_metadata_csv(meta_path, host["sd"],
+                                        host["mean_dist"],
+                                        host["sd_dist"], host["count"])
+                n = int(host["centroid"].shape[0])
+            else:
+                n = downloads.download_data(host, cloud_path, meta_path,
+                                            ascii_mode=ascii_mode)
             metrics = grid_metrics(grid, self.config)
             # snapshot-and-destroy, but leak-free by construction
             # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)

@@ -144,3 +144,29 @@ def test_sweep_save_load_roundtrip(tmp_path):
         x1, r1 = decode.decode_frame(f1)
         np.testing.assert_array_equal(x0, x1)
         np.testing.assert_array_equal(r0, r1)
+
+
+def test_ply_roundtrip_binary_and_ascii(tmp_path):
+    from hifi_fusion_tpu.io import ply
+    host = _host_result(17)
+    for mode in (False, True):
+        p = str(tmp_path / f"c_{mode}.ply")
+        ply.write_ply(p, host["centroid"], host["rgb"], host["normal"],
+                      ascii_mode=mode)
+        back = ply.read_ply(p)
+        np.testing.assert_allclose(back["xyz"], host["centroid"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(back["normal"], host["normal"],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(
+            back["rgb"], np.clip(host["rgb"], 0, 255).astype(np.uint8))
+
+
+def test_ply_xyz_only(tmp_path):
+    from hifi_fusion_tpu.io import ply
+    host = _host_result(5)
+    p = str(tmp_path / "bare.ply")
+    ply.write_ply(p, host["centroid"])
+    back = ply.read_ply(p)
+    np.testing.assert_allclose(back["xyz"], host["centroid"], rtol=1e-6)
+    assert "rgb" not in back and "normal" not in back
