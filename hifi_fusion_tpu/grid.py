@@ -127,16 +127,13 @@ def make_grid(config: FusionConfig) -> GridState:
     )
 
 
-def grid_metrics(grid: GridState, config: FusionConfig = None) -> dict:
+def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
     """Host-side telemetry (survey §5.5): occupancy, load factor, overflows.
 
-    ``config`` trims scratch tails; if omitted, capacity is inferred from
-    the key array (valid only for tail-free states).
+    ``config`` is required: grid arrays carry scratch tails whose size
+    cannot be inferred from the state alone.
     """
-    if config is not None:
-        C = config.capacity
-    else:
-        C = grid.occupied.shape[0]
+    C = config.capacity
     occ = int(jnp.sum(grid.occupied[:C]))
     used = int(jnp.sum(grid.key[:C] != -1))
     return {

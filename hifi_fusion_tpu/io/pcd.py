@@ -135,8 +135,9 @@ def write_metadata_csv(path: str, sd: np.ndarray, mean_dist: np.ndarray,
     cols[:, 3] = mean_dist
     cols[:, 4] = sd_dist
     if native.available():
-        native.write_metadata_csv(path, CSV_HEADER,
-                                  cols.astype(np.float32),
+        # float64 in both paths: the native writer formats doubles, so the
+        # CSV is byte-identical whether or not libfusion_native is built.
+        native.write_metadata_csv(path, CSV_HEADER, cols,
                                   count.astype(np.int64))
         return
     with open(path, "w") as f:

@@ -196,13 +196,18 @@ def integrate_frame_impl(grid: GridState,
         [grid.normal[hosafe * 3 + r] for r in range(3)], axis=0)
     hq = hpt - h_center
     hqp, hdist = _axis_distance(hq, h_normal)
-    hvalid = hvalid & (hdist < config.cylinder_radius)
-    vals8 = jnp.where(hvalid[None, :], jnp.concatenate(
+    # Segment flags come from run membership (howner) alone; the distance
+    # re-gate applies only to the accumulated VALUES.  If the recomputed
+    # hdist of a run's first lane ever flipped past the gate (borderline
+    # f32), the run would otherwise lose its start flag and absorb the
+    # previous owner's partial sums.
+    hhit = hvalid & (hdist < config.cylinder_radius)
+    vals8 = jnp.where(hhit[None, :], jnp.concatenate(
         [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None]], axis=0), 0.0)
     hstarts = segment_starts(howner, hvalid)
     hends = segment_ends(howner, hvalid)
     hsum8 = segment_sums(vals8, hstarts)
-    hcnt = segment_sums(hvalid.astype(f32), hstarts)
+    hcnt = segment_sums(hhit.astype(f32), hstarts)
     n_uh = jnp.sum(hends.astype(i32))
     overflow_hits = overflow_hits + jnp.maximum(n_uh - UH, 0)
     ehorder = jnp.argsort(~hends, stable=True)[:UH]

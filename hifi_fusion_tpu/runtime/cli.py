@@ -40,11 +40,13 @@ def _build_config(args) -> FusionConfig:
         base["bbox"] = tuple(args.bbox)
     if getattr(args, "resolution", None):
         base["resolution"] = (args.resolution,) * 3
-    if getattr(args, "refine_every", None):
+    # integer flags compare against None: 0 is meaningful (e.g.
+    # --refine-every 0 disables refinement, models/pipeline.py)
+    if getattr(args, "refine_every", None) is not None:
         base["refine_every"] = args.refine_every
-    if getattr(args, "capacity_log2", None):
+    if getattr(args, "capacity_log2", None) is not None:
         base["capacity_log2"] = args.capacity_log2
-    if getattr(args, "max_points", None):
+    if getattr(args, "max_points", None) is not None:
         base["max_points"] = args.max_points
     if "bbox" in base:
         base["bbox"] = tuple(base["bbox"])

@@ -47,8 +47,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hf_write_ascii_table.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                          f32p, i64, i64, ctypes.c_int]
     lib.hf_write_ascii_table.restype = ctypes.c_int
+    f64p = ctypes.POINTER(ctypes.c_double)
     lib.hf_write_metadata_csv.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                          f32p, i64p, i64]
+                                          f64p, i64p, i64]
     lib.hf_write_metadata_csv.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -115,11 +116,14 @@ def write_pcd_ascii(path: str, header: str, cols: np.ndarray) -> None:
 
 def write_metadata_csv(path: str, header: str, cols5: np.ndarray,
                        count: np.ndarray) -> None:
+    """cols5 must be float64: the native writer formats doubles with %.6g,
+    byte-identical to the NumPy fallback (the format oracle, io/pcd.py)."""
     lib = _load()
-    cols5 = np.ascontiguousarray(cols5, np.float32)
+    cols5 = np.ascontiguousarray(cols5, np.float64)
     count = np.ascontiguousarray(count, np.int64)
     rc = lib.hf_write_metadata_csv(
-        path.encode(), header.encode(), _fptr(cols5),
+        path.encode(), header.encode(),
+        cols5.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         count.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cols5.shape[0])
     if rc != 0:

@@ -106,9 +106,10 @@ int hf_write_ascii_table(const char* path, const char* header,
 }
 
 // Metadata CSV writer: Id,sdx,sdy,sdz,mean dist,sd dist,count rows
-// (format of OccupancyGrid.hpp:478).
+// (format of OccupancyGrid.hpp:478). Takes float64 so output is
+// byte-identical to the NumPy fallback (the format oracle, io/pcd.py).
 int hf_write_metadata_csv(const char* path, const char* header,
-                          const float* cols5, const int64_t* count,
+                          const double* cols5, const int64_t* count,
                           int64_t n) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
@@ -120,9 +121,9 @@ int hf_write_metadata_csv(const char* path, const char* header,
   for (int64_t i = 0; i < n; ++i) {
     int len = std::snprintf(
         tmp, sizeof(tmp), "%lld,%.6g,%.6g,%.6g,%.6g,%.6g,%lld\n",
-        (long long)i, (double)cols5[i * 5 + 0], (double)cols5[i * 5 + 1],
-        (double)cols5[i * 5 + 2], (double)cols5[i * 5 + 3],
-        (double)cols5[i * 5 + 4], (long long)count[i]);
+        (long long)i, cols5[i * 5 + 0], cols5[i * 5 + 1],
+        cols5[i * 5 + 2], cols5[i * 5 + 3],
+        cols5[i * 5 + 4], (long long)count[i]);
     buf.insert(buf.end(), tmp, tmp + len);
     if (buf.size() > (1 << 21)) {
       std::fwrite(buf.data(), 1, buf.size(), f);

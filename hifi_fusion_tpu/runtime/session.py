@@ -114,37 +114,56 @@ class FusionSession:
 
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
-                ascii_mode: bool = True) -> Dict:
+                ascii_mode: bool = True,
+                drain_timeout: float = 300.0) -> Dict:
         """Drain, export the fused cloud + metadata, clear the grid.
+
+        Ingestion is gated while draining — the reference self-quiesces
+        because its drain blocks the spinner thread (FUSION.cpp:379-394);
+        here a live pusher could otherwise starve the drain forever.
+        Raises ``TimeoutError`` if the queue cannot drain: exporting a
+        mid-stream grid would silently violate the snapshot contract.
 
         The cloud format follows the file extension: ``.pcd`` (reference
         default) or ``.ply``.
         """
-        self.drain()
-        os.makedirs(self.output_dir, exist_ok=True)
-        cloud_path = os.path.join(self.output_dir, cloud_name)
-        meta_path = os.path.join(self.output_dir, meta_name)
-        with self._glock:
-            grid = self._grid
-            if self.final_refine:
-                grid = self.pipeline.refine(grid)
-            host = to_host(self.pipeline.extract(grid))
-            if cloud_path.endswith(".ply"):
-                from ..io import ply
-                ply.write_ply(cloud_path, host["centroid"], host["rgb"],
-                              host["normal"], ascii_mode=ascii_mode)
-                from ..io import pcd as _pcd
-                _pcd.write_metadata_csv(meta_path, host["sd"],
-                                        host["mean_dist"],
-                                        host["sd_dist"], host["count"])
-                n = int(host["centroid"].shape[0])
-            else:
-                n = downloads.download_data(host, cloud_path, meta_path,
-                                            ascii_mode=ascii_mode)
-            metrics = grid_metrics(grid, self.config)
-            # snapshot-and-destroy, but leak-free by construction
-            # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
-            self._grid = self.pipeline.init()
+        was_started = self._started
+        self._started = False
+        try:
+            if not self.drain(timeout=drain_timeout):
+                raise TimeoutError(
+                    f"process(): input queue failed to drain within "
+                    f"{drain_timeout}s; refusing to export a mid-stream "
+                    f"grid")
+            os.makedirs(self.output_dir, exist_ok=True)
+            cloud_path = os.path.join(self.output_dir, cloud_name)
+            meta_path = os.path.join(self.output_dir, meta_name)
+            with self._glock:
+                grid = self._grid
+                if self.final_refine:
+                    grid = self.pipeline.refine(grid)
+                    # refine donated the old buffers; repoint _grid NOW so
+                    # a failure below cannot leave it on deleted buffers
+                    self._grid = grid
+                host = to_host(self.pipeline.extract(grid))
+                if cloud_path.endswith(".ply"):
+                    from ..io import ply
+                    ply.write_ply(cloud_path, host["centroid"], host["rgb"],
+                                  host["normal"], ascii_mode=ascii_mode)
+                    from ..io import pcd as _pcd
+                    _pcd.write_metadata_csv(meta_path, host["sd"],
+                                            host["mean_dist"],
+                                            host["sd_dist"], host["count"])
+                    n = int(host["centroid"].shape[0])
+                else:
+                    n = downloads.download_data(host, cloud_path, meta_path,
+                                                ascii_mode=ascii_mode)
+                metrics = grid_metrics(grid, self.config)
+                # snapshot-and-destroy, but leak-free by construction
+                # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
+                self._grid = self.pipeline.init()
+        finally:
+            self._started = was_started
         log.info("PROCESS: %d voxels -> %s", n, cloud_path)
         return {"cloud": cloud_path, "metadata": meta_path, "n_points": n,
                 "grid_metrics": metrics}

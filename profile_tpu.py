@@ -1,0 +1,102 @@
+"""Per-op TPU timing harness for the bench config (not part of the package).
+
+Times integrate_frame and refine_pass separately, steady-state, using a
+device->host fetch as the barrier (block_until_ready returns early through
+the axon tunnel).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bench import bench_config
+    from hifi_fusion_tpu.grid import make_grid, grid_metrics
+    from hifi_fusion_tpu.ops.integrate import integrate_frame
+    from hifi_fusion_tpu.ops.refine import refine_pass
+    from hifi_fusion_tpu.utils.synthetic import make_sweep, pad_frame
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    cfg = bench_config()
+    log(f"devices: {jax.devices()}")
+    n_frames = int(os.environ.get("PROF_FRAMES", 8))
+    frames = make_sweep(cfg, n_frames, cfg.max_points, seed=0,
+                        noise_sd=3e-4, camera_height=0.4)
+    planar = [pad_frame(f, cfg.max_points) for f in frames]
+    pts = [jnp.asarray(f.points_cam) for f in planar]
+    rgb = [jnp.asarray(f.rgb) for f in planar]
+    mask = [jnp.asarray(f.mask) for f in planar]
+    pose = [jnp.asarray(f.pose) for f in planar]
+
+    grid = make_grid(cfg)
+
+    def fetch(g):
+        return int(np.asarray(g.frames))
+
+    # compile both programs
+    t0 = time.monotonic()
+    grid = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
+                           config=cfg)
+    fetch(grid)
+    log(f"integrate compile+run: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg)
+    fetch(grid)
+    log(f"refine compile+run: {time.monotonic()-t0:.1f}s")
+
+    # steady state: integrate all frames
+    t0 = time.monotonic()
+    for i in range(1, n_frames):
+        grid = integrate_frame(grid, pts[i], rgb[i], mask[i], pose[i],
+                               config=cfg)
+    fetch(grid)
+    dt = time.monotonic() - t0
+    log(f"integrate steady: {dt/(n_frames-1)*1000:.1f} ms/frame "
+        f"({(n_frames-1)*cfg.max_points/dt/1e6:.1f} Mpts/s)")
+
+    # refine steady state
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg)
+    fetch(grid)
+    log(f"refine steady: {(time.monotonic()-t0)*1000:.1f} ms")
+
+    # second refine (now most normals found; replay smaller)
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg)
+    fetch(grid)
+    log(f"refine steady #2: {(time.monotonic()-t0)*1000:.1f} ms")
+
+    # integrate AFTER normals exist (dependant stream now active)
+    t0 = time.monotonic()
+    for i in range(n_frames):
+        grid = integrate_frame(grid, pts[i], rgb[i], mask[i], pose[i],
+                               config=cfg)
+    fetch(grid)
+    dt = time.monotonic() - t0
+    log(f"integrate w/ deps: {dt/n_frames*1000:.1f} ms/frame "
+        f"({n_frames*cfg.max_points/dt/1e6:.1f} Mpts/s)")
+    log(str(grid_metrics(grid, cfg)))
+
+    if os.environ.get("PROF_TRACE"):
+        with jax.profiler.trace(os.environ["PROF_TRACE"]):
+            g2 = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
+                                 config=cfg)
+            fetch(g2)
+
+
+if __name__ == "__main__":
+    main()

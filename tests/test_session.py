@@ -107,6 +107,45 @@ def test_backpressure_drops_oldest(tmp_path):
                 + m["frames_dropped_backpressure"]) == 6
 
 
+def test_process_gates_ingestion(tmp_path):
+    """Frames pushed while process() drains must not enter the snapshot
+    (the reference self-quiesces: its drain blocks the spinner,
+    FUSION.cpp:379-394)."""
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.run_source(SyntheticSource(CFG, 2, 400, seed=7))
+        src = list(SyntheticSource(CFG, 1, 400, seed=8))
+
+        orig_drain = sess.drain
+        pushed = {}
+
+        def drain_and_push(timeout=300.0):
+            ok = orig_drain(timeout=timeout)
+            # a pusher racing the drain: must be gated (started was
+            # snapshotted off), so the frame cannot leak into the export
+            pushed["accepted"] = sess.push_frame(*src[0])
+            return ok
+
+        sess.drain = drain_and_push
+        sess.process()
+        assert pushed["accepted"] is False
+        sess.drain = orig_drain
+        # started flag restored after process
+        assert sess._started is True
+        assert sess.push_frame(*src[0]) is True
+
+
+def test_process_drain_timeout_raises(tmp_path):
+    with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
+        sess.run_source(SyntheticSource(CFG, 1, 300, seed=9))
+        occ = sess.metrics()["occupied_voxels"]
+        sess.drain = lambda timeout=300.0: False   # simulate stuck queue
+        with pytest.raises(TimeoutError):
+            sess.process(drain_timeout=0.01)
+        del sess.drain
+        # the grid survived the refused export
+        assert sess.metrics()["occupied_voxels"] == occ
+
+
 def test_save_load_state(tmp_path):
     with FusionSession(CFG, output_dir=str(tmp_path)) as sess:
         sess.run_source(SyntheticSource(CFG, 4, 500, seed=5))
