@@ -76,6 +76,19 @@ class FusionConfig:
                                       # reference refines on a 5s wall-clock
                                       # timer, FUSION.cpp:323; we use a frame
                                       # cadence so results are deterministic)
+    reclaim_buffer: bool = True       # after each refine pass, drop buffer
+                                      # lanes whose voxel has normal_found.
+                                      # The reference keeps buffers forever
+                                      # (unbounded RAM, GRID.hpp:70,211) and
+                                      # replays a FROZEN buffer when a late
+                                      # owner registers a dependant on an
+                                      # already-normal-found voxel
+                                      # (GRID.hpp:412-442); with reclamation
+                                      # that late replay is skipped — the
+                                      # only divergence.  Both oracles honor
+                                      # this flag, so parity is exact either
+                                      # way.  False = reference-exact,
+                                      # unbounded-buffer semantics.
     bug_compat_blue_shift: bool = False  # reproduce FUSION.cpp:174 blue>>1 bug
 
     # ------------------------------------------------------------------
@@ -115,6 +128,12 @@ class FusionConfig:
                    self.max_unique_per_frame,
                    self.max_hit_voxels,
                    self.max_replay_hits // 4)
+
+    @property
+    def n_occ_words(self) -> int:
+        """Words in the packed cell-occupancy bitmap (32 cells/word).
+        Bounded by n_cells < 2^31 -> <= 256 MB; typically a few MB."""
+        return (self.n_cells + 31) // 32
 
     @property
     def n_offsets(self) -> int:

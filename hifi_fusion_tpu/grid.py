@@ -67,6 +67,13 @@ class GridState(NamedTuple):
     # hash table -------------------------------------------------------
     key: jax.Array          # (C+T,)    i32  dense cell id, -1 = empty slot
     occupied: jax.Array     # (C+T,)    bool voxel.occupied
+    # cell-id-keyed packed occupancy bitmap (32 cells/word).  Duplicates
+    # the slot-keyed `occupied` flag so the refine pass can test the
+    # (2k+1)^3 neighborhood with ONE u32 gather per neighbor instead of
+    # hash probing (the reference walks its dense voxels_ array directly,
+    # OccupancyGrid.hpp:334-349 — this restores O(1) occupancy tests on a
+    # sparse grid).  Carries a scatter tail like every scatter target.
+    occ_bits: jax.Array     # (W+T,)    u32
     normal_found: jax.Array  # (C+T,)   bool VoxelInfo::normal_found
     normal: jax.Array       # flat 3    f32  unit surface normal
     viewpoint: jax.Array    # flat 3    f32  camera position @ first occupancy
@@ -89,6 +96,7 @@ class GridState(NamedTuple):
     overflow_refine: jax.Array  # () i32  refine candidates deferred
     overflow_unique: jax.Array  # () i32  unique-cells-per-frame bound hit
     overflow_hits: jax.Array    # () i32  cylinder hits dropped (H bound)
+    reclaimed: jax.Array       # ()  i32  buffer lanes freed by reclamation
     frames: jax.Array          # ()  i32  frames integrated since clear
 
 
@@ -106,6 +114,7 @@ def make_grid(config: FusionConfig) -> GridState:
     return GridState(
         key=flat(1, -1, i32),
         occupied=flat(1, False, jnp.bool_),
+        occ_bits=jnp.zeros((config.n_occ_words + T,), jnp.uint32),
         normal_found=flat(1, False, jnp.bool_),
         normal=flat(3, 0.0, f32),
         viewpoint=flat(3, 0.0, f32),
@@ -123,6 +132,7 @@ def make_grid(config: FusionConfig) -> GridState:
         overflow_refine=jnp.zeros((), i32),
         overflow_unique=jnp.zeros((), i32),
         overflow_hits=jnp.zeros((), i32),
+        reclaimed=jnp.zeros((), i32),
         frames=jnp.zeros((), i32),
     )
 
@@ -149,4 +159,5 @@ def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
         "overflow_refine": int(grid.overflow_refine),
         "overflow_unique": int(grid.overflow_unique),
         "overflow_hits": int(grid.overflow_hits),
+        "buffer_lanes_reclaimed": int(grid.reclaimed),
     }

@@ -37,7 +37,7 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing, pallas_kernels
 from .scatter import (compact_by, scatter_add, scatter_set, segment_ends,
-                      segment_starts, segment_sums)
+                      segment_reduce, segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -137,6 +137,24 @@ def integrate_frame_impl(grid: GridState,
 
     occupied = scatter_set(grid.occupied, g_slot, g_valid,
                            [jnp.ones((U,), jnp.bool_)], C)
+    # cell-id-keyed occupancy bitmap (read by the refine gate, grid.py).
+    # uids ascend => words ascend; OR-reduce runs of equal words, then one
+    # sorted-unique read-modify-write.
+    u32 = jnp.uint32
+    word = jnp.where(uplaced, uids >> 5, _BIG)
+    bitv = jnp.where(uplaced,
+                     u32(1) << (uids & 31).astype(u32), u32(0))
+    wst = segment_starts(word, uplaced)
+    wen = segment_ends(word, uplaced)
+    orscan = segment_reduce(bitv, wst, jnp.bitwise_or)
+    worder = jnp.argsort(~wen, stable=True)
+    w_idx = word[worder]
+    w_ok = wen[worder]
+    w_or = orscan[worder]
+    W = config.n_occ_words
+    old_bits = grid.occ_bits[jnp.clip(w_idx, 0, W - 1)]
+    occ_bits = scatter_set(grid.occ_bits, w_idx, w_ok,
+                           [old_bits | w_or], W)
     # First-occupancy viewpoint (ghosts re-stamped like the reference's
     # else-branch overwrite, OccupancyGrid.hpp:229,238).
     vmask, vslot = compact_by(g_valid & ~g_occ0, g_slot)
@@ -224,6 +242,7 @@ def integrate_frame_impl(grid: GridState,
     return grid._replace(
         key=key_table,
         occupied=occupied,
+        occ_bits=occ_bits,
         viewpoint=viewpoint_arr,
         count=count,
         cyl_stats=cyl_stats,

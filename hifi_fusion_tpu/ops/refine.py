@@ -81,15 +81,17 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     center = geometry.cell_center(coords, config)                 # (3,U)
 
     # --- neighborhood occupancy (OccupancyGrid.hpp:334-349) --------------
+    # One u32 gather + bit test per neighbor from the cell-id-keyed
+    # occupancy bitmap — restores the reference's O(1) dense-array
+    # occupancy test without hash probing (M*U lanes x probe rounds).
     offsets = jnp.asarray(_neighbor_offsets(config), i32)         # (3,M)
     M = offsets.shape[1]
     ncoords = coords[:, None, :] + offsets[:, :, None]            # (3,M,U)
     nvalid = geometry.valid_coords(ncoords, config) & cand_ok[None, :]
     nids = geometry.cell_id(ncoords, config)                      # (M,U)
-    nslot = hashing.lookup(grid.key, nids.reshape(-1),
-                           nvalid.reshape(-1), config.max_probes, C)
-    nslot = nslot.reshape(M, U)
-    nocc = (nslot >= 0) & grid.occupied[jnp.clip(nslot, 0, C - 1)] & nvalid
+    W = config.n_occ_words
+    nwords = grid.occ_bits[jnp.clip(nids >> 5, 0, W - 1)]
+    nocc = (((nwords >> (nids & 31).astype(jnp.uint32)) & 1) != 0) & nvalid
     total = jnp.sum(nocc.astype(i32), axis=0)                     # (U,)
     gated = cand_ok & (total >= config.min_neighbors)             # "total>20"
 
@@ -233,6 +235,24 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     count = scatter_add(grid.count, eo_slot, emask2,
                         [jnp.round(ecnt2).astype(i32)], C)
 
+    # --- buffer reclamation (post-replay) ---------------------------------
+    # Lanes whose voxel now has a normal are frozen (integrate stops
+    # appending once normal_found, OccupancyGrid.hpp:210-211); dropping
+    # them bounds the buffer.  Divergence from the reference's unbounded
+    # buffers is ONLY the late-registration replay of frozen lanes (see
+    # FusionConfig.reclaim_buffer) — both oracles honor the same flag.
+    buf_pts, buf_slot, buf_count = grid.buf_pts, grid.buf_slot, grid.buf_count
+    reclaimed = grid.reclaimed
+    if config.reclaim_buffer:
+        bkeep = (buf_slot >= 0) & ~normal_found[
+            jnp.clip(buf_slot, 0, C - 1)]
+        korder = jnp.argsort(~bkeep, stable=True)
+        buf_slot = jnp.where(bkeep[korder], buf_slot[korder], -1)
+        buf_pts = buf_pts[:, korder]
+        n_keep = jnp.sum(bkeep.astype(i32))
+        reclaimed = reclaimed + (buf_count - n_keep)
+        buf_count = n_keep
+
     return grid._replace(
         key=key_table,
         normal=normal,
@@ -241,6 +261,10 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
         dep_count=dep_count,
         cyl_stats=cyl_stats,
         count=count,
+        buf_pts=buf_pts,
+        buf_slot=buf_slot,
+        buf_count=buf_count,
+        reclaimed=reclaimed,
         overflow_dep=overflow_dep,
         overflow_refine=overflow_refine,
         overflow_hits=grid.overflow_hits + overflow_replay,

@@ -113,6 +113,13 @@ def segment_sums(values: jax.Array, starts: jax.Array) -> jax.Array:
     At each segment's END lane the result equals the full segment sum.
     Precision is segment-local (no global-cumsum cancellation).
     """
+    return segment_reduce(values, starts, jnp.add)
+
+
+def segment_reduce(values: jax.Array, starts: jax.Array, op) -> jax.Array:
+    """segment_sums with an arbitrary associative combine ``op`` (e.g.
+    jnp.bitwise_or for bitmap accumulation); masked lanes must carry the
+    identity element of ``op``."""
     if values.ndim == 2:
         flags = jnp.broadcast_to(starts[None, :], values.shape)
     else:
@@ -121,7 +128,7 @@ def segment_sums(values: jax.Array, starts: jax.Array) -> jax.Array:
     def comb(a, b):
         av, af = a
         bv, bf = b
-        return (jnp.where(bf, bv, av + bv), af | bf)
+        return (jnp.where(bf, bv, op(av, bv)), af | bf)
 
     out, _ = jax.lax.associative_scan(comb, (values, flags), axis=-1)
     return out

@@ -46,6 +46,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hf_oracle_add_frame.restype = None
     lib.hf_oracle_refine.argtypes = [ctypes.c_void_p]
     lib.hf_oracle_refine.restype = None
+    lib.hf_oracle_set_reclaim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.hf_oracle_set_reclaim.restype = None
     lib.hf_oracle_extract.argtypes = [ctypes.c_void_p, f32p, f32p, f64p,
                                       f64p, i64p, i64p, i64]
     lib.hf_oracle_extract.restype = i64
@@ -81,6 +83,8 @@ class NativeOracle:
             _f32p(res), config.z_clip[0], config.z_clip[1],
             config.cylinder_radius, config.k_neighborhood, config.line_k,
             config.min_neighbors)
+        lib.hf_oracle_set_reclaim(self._h,
+                                  1 if config.reclaim_buffer else 0)
 
     def integrate_frame(self, points_cam: np.ndarray,
                         rgb: Optional[np.ndarray],

@@ -198,6 +198,12 @@ class OracleGrid:
                 if lv.occupied:
                     for p in lv.buffer:
                         self._cylinder_accumulate(v, cid, p)
+        if self.config.reclaim_buffer:
+            # mirror of the device's post-pass reclamation (ops/refine.py):
+            # frozen buffers of normal-found voxels are dropped
+            for v in self.voxels.values():
+                if v.normal_found and v.buffer:
+                    v.buffer.clear()
 
     # -- extract (OccupancyGrid.hpp:456-488) -------------------------------
     def extract(self) -> Dict[str, np.ndarray]:

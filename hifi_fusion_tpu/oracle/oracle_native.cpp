@@ -50,6 +50,7 @@ struct Oracle {
   float zmin, zmax;
   float cylinder_r, line_step;
   int k, line_k, min_neighbors;
+  bool reclaim_buffer = false;
   int64_t dims[3];
 
   std::unordered_map<int64_t, Vox> map;
@@ -257,6 +258,15 @@ struct Oracle {
         }
       }
     }
+    if (reclaim_buffer) {
+      // mirror of the device's post-pass reclamation (ops/refine.py):
+      // frozen buffers of normal-found voxels are dropped
+      for (auto& kv : map)
+        if (kv.second.normal_found && !kv.second.buffer.empty()) {
+          kv.second.buffer.clear();
+          kv.second.buffer.shrink_to_fit();
+        }
+    }
   }
 
   int64_t extract(float* out_centroid, float* out_normal, double* out_sd,
@@ -317,6 +327,10 @@ void* hf_oracle_create(const double* bbox, const float* res, float zmin,
   o->min_neighbors = min_neighbors;
   for (int a = 0; a < 3; ++a) o->dims[a] = o->dim(a);
   return o;
+}
+
+void hf_oracle_set_reclaim(void* h, int on) {
+  static_cast<Oracle*>(h)->reclaim_buffer = on != 0;
 }
 
 void hf_oracle_add_frame(void* h, const float* pts_cam, int64_t n,

@@ -73,7 +73,7 @@ _PLANAR_EXTRACT_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 _SCALAR_FIELDS = ("buf_count", "overflow_probe", "overflow_buf",
                   "overflow_dep", "overflow_refine", "overflow_unique",
-                  "overflow_hits", "frames")
+                  "overflow_hits", "reclaimed", "frames")
 
 
 def _unwrap(g: GridState) -> GridState:

@@ -69,20 +69,29 @@ def cmd_synth(args) -> int:
 
 def cmd_fuse(args) -> int:
     import contextlib
+    import os
 
     from ..utils.profiling import trace
     from .session import FusionSession
     from .sources import load_sweep
     cfg = _build_config(args)
-    src = load_sweep(args.sweep)
+    if os.path.isdir(args.sweep):
+        # recorded capture: directory of PCD/PLY frames + pose trajectory
+        from .capture import load_capture
+        src = load_capture(args.sweep)
+    else:
+        src = load_sweep(args.sweep)
+    variants = tuple(v for v in (args.export_variants or "").split(",")
+                     if v)
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx, FusionSession(cfg, output_dir=args.output) as sess:
         sess.run_source(src)
-        result = sess.process()
+        result = sess.process(variants=variants)
         m = sess.metrics()
     print(json.dumps({"n_points": result["n_points"],
                       "cloud": result["cloud"],
                       "metadata": result["metadata"],
+                      "variants": result["variants"],
                       "frames_integrated": m["frames_integrated"],
                       "frames_per_s": m["frames_per_s"],
                       "stage_timers": m["stage_timers"]}))
@@ -184,8 +193,13 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("fuse", help="replay a sweep and export the cloud")
     add_cfg(sp)
-    sp.add_argument("--sweep", required=True)
+    sp.add_argument("--sweep", required=True,
+                    help=".npz sweep file OR a capture directory of "
+                         "PCD/PLY frames + poses.tum/poses.csv")
     sp.add_argument("--output", default=".")
+    sp.add_argument("--export-variants", dest="export_variants",
+                    help="comma list of extra clouds to write: "
+                         "hq,classified,xyzrgb,normals")
     sp.add_argument("--trace", help="write a jax profiler trace to this dir")
     sp.set_defaults(fn=cmd_fuse)
 

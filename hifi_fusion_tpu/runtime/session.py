@@ -115,7 +115,8 @@ class FusionSession:
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
                 ascii_mode: bool = True,
-                drain_timeout: float = 300.0) -> Dict:
+                drain_timeout: float = 300.0,
+                variants: Tuple[str, ...] = ()) -> Dict:
         """Drain, export the fused cloud + metadata, clear the grid.
 
         Ingestion is gated while draining — the reference self-quiesces
@@ -125,7 +126,11 @@ class FusionSession:
         mid-stream grid would silently violate the snapshot contract.
 
         The cloud format follows the file extension: ``.pcd`` (reference
-        default) or ``.ply``.
+        default) or ``.ply``.  ``variants`` optionally writes additional
+        clouds next to the main one — the reference's other download*
+        entry points (OccupancyGrid.hpp:491-601): ``"hq"`` (count >=
+        good_points_threshold), ``"classified"`` (quality-colored),
+        ``"xyzrgb"``, ``"normals"``.
         """
         was_started = self._started
         self._started = False
@@ -158,6 +163,8 @@ class FusionSession:
                 else:
                     n = downloads.download_data(host, cloud_path, meta_path,
                                                 ascii_mode=ascii_mode)
+                variant_paths = self._write_variants(
+                    host, cloud_path, variants, ascii_mode)
                 metrics = grid_metrics(grid, self.config)
                 # snapshot-and-destroy, but leak-free by construction
                 # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
@@ -166,7 +173,40 @@ class FusionSession:
             self._started = was_started
         log.info("PROCESS: %d voxels -> %s", n, cloud_path)
         return {"cloud": cloud_path, "metadata": meta_path, "n_points": n,
-                "grid_metrics": metrics}
+                "variants": variant_paths, "grid_metrics": metrics}
+
+    def _write_variants(self, host, cloud_path: str, variants,
+                        ascii_mode: bool) -> Dict[str, str]:
+        """Write the reference's extra download* views next to the main
+        cloud (OccupancyGrid.hpp:491-601)."""
+        from ..io import pcd as _pcd
+        stem = cloud_path.rsplit(".", 1)[0]
+        out: Dict[str, str] = {}
+        for v in variants:
+            path = f"{stem}_{v}.pcd"
+            if v == "hq":
+                d = downloads.download_hq(host, self.config)
+                _pcd.write_pcd_xyzrgbnormal(path, d["xyz"], d["rgb"],
+                                            d["normal"],
+                                            ascii_mode=ascii_mode)
+            elif v == "classified":
+                d = downloads.download_classified(host, self.config)
+                _pcd.write_pcd_xyzrgb(path, d["xyz"], d["rgb"],
+                                      ascii_mode=ascii_mode)
+            elif v == "xyzrgb":
+                d = downloads.download_xyz(host)
+                _pcd.write_pcd_xyzrgb(path, d["xyz"], d["rgb"],
+                                      ascii_mode=ascii_mode)
+            elif v == "normals":
+                d = downloads.download_with_normals(host)
+                _pcd.write_pcd_xyzrgbnormal(path, d["xyz"], d["rgb"],
+                                            d["normal"],
+                                            ascii_mode=ascii_mode)
+            else:
+                raise ValueError(f"unknown export variant {v!r} (expected "
+                                 f"hq/classified/xyzrgb/normals)")
+            out[v] = path
+        return out
 
     # ------------------------------------------------------------------
     # ingestion

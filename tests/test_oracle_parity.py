@@ -44,7 +44,7 @@ def run_oracle(cfg, frames, refine_every=2, final_refine=True):
     return g, g.extract()
 
 
-def assert_parity(dev, orc, stats_rtol=5e-3):
+def assert_parity(dev, orc, stats_rtol=5e-3, dist_atol=1e-6):
     dev_cells = dev["cell"].astype(np.int64)
     orc_cells = orc["cell"]
     # identical extracted voxel sets, identical (sorted) order
@@ -60,7 +60,10 @@ def assert_parity(dev, orc, stats_rtol=5e-3):
     # statistics match within float tolerance
     np.testing.assert_allclose(dev["centroid"], orc["centroid"], atol=2e-5)
     np.testing.assert_allclose(dev["sd"], orc["sd"], atol=1e-9)
-    np.testing.assert_allclose(dev["mean_dist"], orc["mean_dist"], atol=1e-6)
+    # the Cardano vs numpy.linalg.eigh normal difference (~1e-4 in the
+    # vector) perturbs projected distances by up to ~|q|*1e-4 ~ 2e-6
+    np.testing.assert_allclose(dev["mean_dist"], orc["mean_dist"],
+                               atol=dist_atol)
     np.testing.assert_allclose(dev["sd_dist"], orc["sd_dist"], atol=1e-8)
     np.testing.assert_allclose(dev["n_pts"].astype(np.int64), orc["n_pts"])
     np.testing.assert_allclose(dev["rgb"], orc["rgb"], rtol=1e-4, atol=1e-3)
