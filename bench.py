@@ -108,8 +108,11 @@ def _on_signal(signum, frame):
     sys.exit(0)
 
 
-signal.signal(signal.SIGTERM, _on_signal)
-signal.signal(signal.SIGINT, _on_signal)
+def _install_handlers():
+    # only when run as a script — importing bench as a library (e.g. for
+    # bench_config) must not hijack the host process's signal handling
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
 
 
 def load_cached():
@@ -168,28 +171,23 @@ def make_frames(cfg, n_frames):
     return frames
 
 
-def _stack_planar(cfg, frames):
-    from hifi_fusion_tpu.utils.synthetic import pad_frame
-    planar = [pad_frame(f, cfg.max_points) for f in frames]
-    return (np.stack([f.points_cam for f in planar]),
-            np.stack([f.rgb for f in planar]),
-            np.stack([f.mask for f in planar]),
-            np.stack([f.pose for f in planar]))
-
-
 def run_tpu(cfg, frames):
-    """Per-frame jitted step over HBM-staged frames; host-driven cadence.
+    """Per-frame jitted integrate over host-staged frames (async HtoD of
+    ~3.7 MB/frame overlaps device compute); host-driven refine cadence.
 
-    Three medium programs (integrate / refine / extract) instead of the
-    monolithic 100-step lax.scan — far cheaper to compile, identical math.
+    Uses the SAME three programs as the library pipeline, bench --verify
+    and profile_tpu.py (integrate_frame / refine_pass / extract) so one
+    compile-cache warming covers every entry point — cold compiles on the
+    axon service run ~100 s per sort/scatter/while op, so program count
+    is the budget that matters.
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from hifi_fusion_tpu.grid import make_grid, grid_metrics
-    from hifi_fusion_tpu.ops.integrate import integrate_frame_impl
+    from hifi_fusion_tpu.ops.integrate import integrate_frame
     from hifi_fusion_tpu.ops.refine import refine_pass
     from hifi_fusion_tpu.ops.extract import extract
+    from hifi_fusion_tpu.utils.synthetic import pad_frame
 
     cache = os.path.join(ROOT, ".jax_cache")
     try:
@@ -204,34 +202,25 @@ def run_tpu(cfg, frames):
 
     log(f"jax devices: {jax.devices()}")
 
-    @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
-    def step_i(grid, pts_all, rgb_all, mask_all, poses_all, i, *, config):
-        pts = jax.lax.dynamic_index_in_dim(pts_all, i, 0, keepdims=False)
-        rgb = jax.lax.dynamic_index_in_dim(rgb_all, i, 0, keepdims=False)
-        mask = jax.lax.dynamic_index_in_dim(mask_all, i, 0, keepdims=False)
-        pose = jax.lax.dynamic_index_in_dim(poses_all, i, 0, keepdims=False)
-        return integrate_frame_impl(grid, pts, rgb, mask, pose,
-                                    config=config)
-
     def fetch(x):
         return np.asarray(x)          # device->host fetch = reliable barrier
 
     t0 = time.monotonic()
-    pts, rgb, mask, poses = _stack_planar(cfg, frames)
-    pts = jnp.asarray(pts)
-    rgb = jnp.asarray(rgb)
-    mask = jnp.asarray(mask)
-    poses = jnp.asarray(poses)
-    fetch(poses[-1])
-    log(f"HBM staging: {time.monotonic()-t0:.1f}s "
-        f"({(pts.nbytes + rgb.nbytes + mask.nbytes)/1e6:.0f} MB)")
+    planar = [pad_frame(f, cfg.max_points) for f in frames]
+    host = [(np.ascontiguousarray(f.points_cam),
+             np.ascontiguousarray(f.rgb),
+             np.ascontiguousarray(f.mask),
+             np.ascontiguousarray(f.pose)) for f in planar]
+    log(f"host staging: {time.monotonic()-t0:.1f}s")
 
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
         t0 = time.monotonic()
         for i in range(n_frames):
-            grid = step_i(grid, pts, rgb, mask, poses,
-                          jnp.int32(i), config=cfg)
+            p, c, m_, t = host[i % len(host)]
+            grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
+                                   jnp.asarray(m_), jnp.asarray(t),
+                                   config=cfg)
             if (i + 1) % REFINE_EVERY == 0:
                 grid = refine_pass(grid, config=cfg)
         grid = refine_pass(grid, config=cfg)
@@ -379,6 +368,7 @@ def _phases():
 
 
 def main():
+    _install_handlers()
     if "--verify" in sys.argv:
         run_verify()
         return

@@ -1,0 +1,75 @@
+"""Warm the persistent XLA compile cache for every TPU entry point.
+
+On the axon TPU service, cold-compiling any op with a called subcomputation
+(sort, scatter, while_loop) costs ~100 s EACH regardless of size (measured
+2026-08-16: argsort@1024 = 108 s, while_loop@trivial = 100 s, cumsum = 2 s),
+so the fusion programs (~15 such ops each) take tens of minutes cold and
+<1 s warm.  Run this once after any libtpu/backend change; bench.py,
+profile_tpu.py and the driver's compile checks then start warm.
+
+Programs warmed:
+  1. integrate_frame / refine_pass / extract at the bench config
+     (shared by bench.py, bench.py --verify, profile_tpu.py)
+  2. the __graft_entry__.entry() flagship fusion step
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    from bench import bench_config
+    from hifi_fusion_tpu.grid import make_grid
+    from hifi_fusion_tpu.ops.extract import extract
+    from hifi_fusion_tpu.ops.integrate import integrate_frame
+    from hifi_fusion_tpu.ops.refine import refine_pass
+
+    cfg = bench_config()
+    grid = make_grid(cfg)
+    N = cfg.max_points
+    pts = jnp.zeros((3, N), jnp.float32)
+    rgb = jnp.zeros((3, N), jnp.float32)
+    mask = jnp.zeros((N,), bool)
+    pose = jnp.eye(4, dtype=jnp.float32)
+
+    t0 = time.monotonic()
+    grid = integrate_frame(grid, pts, rgb, mask, pose, config=cfg)
+    np.asarray(grid.frames)
+    log(f"integrate_frame@bench: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg)
+    np.asarray(grid.frames)
+    log(f"refine_pass@bench: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    r = extract(grid, config=cfg)
+    np.asarray(r.n_valid)
+    log(f"extract@bench: {time.monotonic()-t0:.1f}s")
+
+    t0 = time.monotonic()
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    log(f"entry() flagship step: {time.monotonic()-t0:.1f}s")
+    log("cache warm")
+
+
+if __name__ == "__main__":
+    main()
