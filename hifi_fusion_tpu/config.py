@@ -122,11 +122,14 @@ class FusionConfig:
     @property
     def scatter_tail(self) -> int:
         """Scratch-tail slots appended to every scatter-target grid array;
-        must cover the largest masked-scatter batch (ops/scatter.py)."""
+        must cover the largest masked-scatter batch (ops/scatter.py),
+        including the direct per-hit-lane cylinder scatter (H lanes)."""
         return max(self.max_points,
                    self.n_line * self.max_refine_candidates,
                    self.max_unique_per_frame,
                    self.max_hit_voxels,
+                   min(self.max_hits_per_frame,
+                       self.max_dependants * self.max_points),
                    self.max_replay_hits // 4)
 
     @property

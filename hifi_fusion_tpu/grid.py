@@ -27,19 +27,17 @@ open-addressing spatial hash (survey §7 "core representation decisions"):
 
 LAYOUT (performance-critical — measured on TPU):
 
-* Random scatter on TPU is pathologically slow; **sorted-unique scatter is
-  ~100-1000x faster** (see ops/integrate.py).  Every mutation therefore goes
-  through sort -> segment-reduce -> one ``indices_are_sorted=True,
-  unique_indices=True`` scatter.
+* Scatter with DUPLICATE indices on TPU is pathologically slow (~1000x);
+  with ``unique_indices=True`` it is fast in any lane order (ops/scatter.py
+  measurements).  Every mutation therefore groups duplicate contributions
+  (sort + segment-reduce) and issues ONE unique-index scatter.
 * Multi-component per-voxel fields are stored as **flat 1-D slot-major**
   arrays: element ``slot*k + r``.  Flat 1-D arrays avoid the TPU (8,128)
-  tile padding of small-minor 2-D arrays, and slot-major keeps a sorted
-  run of slots sorted after expanding the k components.
+  tile padding of small-minor 2-D arrays.
 * Every scatter-target array carries a **scratch tail** of
-  ``config.scatter_tail`` slots: masked-out lanes scatter into the tail at
-  ascending fake offsets, preserving the sorted-unique index contract
-  without a mid-array sentinel.  Readers use only the first ``k*C``
-  elements.
+  ``config.scatter_tail`` slots: masked-out lanes scatter into per-lane
+  fake offsets past the live region, keeping indices unique without
+  compaction.  Readers use only the first ``k*C`` elements.
 
 Slots are append-only between ``clear()`` calls, so slot indices stored in
 ``dep``/``buf_slot`` stay stable.  ``clear()`` rebuilds a fresh state, fixing
@@ -66,22 +64,22 @@ class GridState(NamedTuple):
 
     # hash table -------------------------------------------------------
     key: jax.Array          # (C+T,)    i32  dense cell id, -1 = empty slot
-    occupied: jax.Array     # (C+T,)    bool voxel.occupied
-    # cell-id-keyed packed occupancy bitmap (32 cells/word).  Duplicates
-    # the slot-keyed `occupied` flag so the refine pass can test the
-    # (2k+1)^3 neighborhood with ONE u32 gather per neighbor instead of
-    # hash probing (the reference walks its dense voxels_ array directly,
-    # OccupancyGrid.hpp:334-349 — this restores O(1) occupancy tests on a
-    # sparse grid).  Carries a scatter tail like every scatter target.
+    # cell-id-keyed packed occupancy bitmap (32 cells/word): the refine
+    # pass tests the (2k+1)^3 neighborhood with ONE u32 gather per
+    # neighbor instead of hash probing (the reference walks its dense
+    # voxels_ array directly, OccupancyGrid.hpp:334-349 — this restores
+    # O(1) occupancy tests on a sparse grid).  Slot-keyed occupancy is
+    # NOT stored separately: a voxel is occupied iff it has received a
+    # point, i.e. vstats n_pts > 0 (see occupied_slots/occupied_at).
     occ_bits: jax.Array     # (W+T,)    u32
     normal_found: jax.Array  # (C+T,)   bool VoxelInfo::normal_found
     normal: jax.Array       # flat 3    f32  unit surface normal
-    viewpoint: jax.Array    # flat 3    f32  camera position @ first occupancy
-    # cylinder statistics (centered sum form) -------------------------
-    count: jax.Array        # (C+T,)    i32  points passing the 1mm gate
-    cyl_stats: jax.Array    # flat 8    f32  [Σq(3),Σq²(3),Σd,Σd²] slot-major
-    # per-voxel color / hit telemetry ---------------------------------
-    pstats: jax.Array       # flat 4    f32  [Σrgb(3), n_pts] slot-major
+    # cylinder statistics (centered sum form); the trailing lane is the
+    # cylinder hit count as f32 (exact to 2^24), merged here so stats and
+    # count land in ONE scatter ---------------------------------------
+    cyl_stats: jax.Array    # flat 9    f32  [Σq(3),Σq²(3),Σd,Σd²,hits]
+    # per-voxel viewpoint + color/point telemetry, one scatter ---------
+    vstats: jax.Array       # flat 7    f32  [viewpoint(3),Σrgb(3),n_pts]
     # dependant links -------------------------------------------------
     dep: jax.Array          # flat D    i32  owner slots, slot-major, -1
     dep_count: jax.Array    # (C+T,)    i32
@@ -113,14 +111,11 @@ def make_grid(config: FusionConfig) -> GridState:
 
     return GridState(
         key=flat(1, -1, i32),
-        occupied=flat(1, False, jnp.bool_),
         occ_bits=jnp.zeros((config.n_occ_words + T,), jnp.uint32),
         normal_found=flat(1, False, jnp.bool_),
         normal=flat(3, 0.0, f32),
-        viewpoint=flat(3, 0.0, f32),
-        count=flat(1, 0, i32),
-        cyl_stats=flat(8, 0.0, f32),
-        pstats=flat(4, 0.0, f32),
+        cyl_stats=flat(9, 0.0, f32),
+        vstats=flat(7, 0.0, f32),
         dep=flat(D, -1, i32),
         dep_count=flat(1, 0, i32),
         buf_pts=jnp.zeros((3, B), f32),
@@ -137,6 +132,23 @@ def make_grid(config: FusionConfig) -> GridState:
     )
 
 
+def occupied_slots(grid: GridState, capacity: int) -> jax.Array:
+    """(C,) bool slot-keyed occupancy: a voxel is occupied iff at least one
+    point landed in it (reference semantics: occupied set on first point,
+    OccupancyGrid.hpp:227-241; ghosts have data but no points)."""
+    return grid.vstats[6::7][:capacity] > 0
+
+
+def occupied_at(grid: GridState, slots: jax.Array) -> jax.Array:
+    """Occupancy gather for (possibly clipped) slot indices."""
+    return grid.vstats[slots * 7 + 6] > 0
+
+
+def count_at(grid: GridState, slots: jax.Array) -> jax.Array:
+    """Cylinder-hit count (i32) for slot indices."""
+    return jnp.round(grid.cyl_stats[slots * 9 + 8]).astype(jnp.int32)
+
+
 def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
     """Host-side telemetry (survey §5.5): occupancy, load factor, overflows.
 
@@ -144,7 +156,7 @@ def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
     cannot be inferred from the state alone.
     """
     C = config.capacity
-    occ = int(jnp.sum(grid.occupied[:C]))
+    occ = int(jnp.sum(occupied_slots(grid, C)))
     used = int(jnp.sum(grid.key[:C] != -1))
     return {
         "occupied_voxels": occ,

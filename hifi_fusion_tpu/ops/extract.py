@@ -54,9 +54,10 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     """``x_range=(lo, hi)`` restricts emission to voxels whose x cell index
     lies in [lo, hi) — used by the sharded path so each device emits only
     its core slab (halo copies are suppressed)."""
+    from ..grid import occupied_slots
     C = config.capacity
     key = grid.key[:C]
-    mask = grid.occupied[:C] & grid.normal_found[:C]
+    mask = occupied_slots(grid, C) & grid.normal_found[:C]
     if x_range is not None:
         _, dy, dz = config.dims
         cx = key // (dy * dz)
@@ -70,9 +71,9 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     coords = geometry.id_to_coords(jnp.maximum(cell, 0), config)
     center = geometry.cell_center(coords, config)          # (3,C)
 
-    cnt = grid.count[order]
-    cnt_f = jnp.maximum(cnt.astype(jnp.float32), 1.0)      # (C,)
-    stats = jnp.stack([grid.cyl_stats[order * 8 + r] for r in range(8)], 0)
+    stats = jnp.stack([grid.cyl_stats[order * 9 + r] for r in range(9)], 0)
+    cnt = jnp.round(stats[8]).astype(jnp.int32)
+    cnt_f = jnp.maximum(stats[8], 1.0)                     # (C,)
     mean_q = stats[0:3] / cnt_f
     has = cnt > 0
     centroid = jnp.where(has[None, :], center + mean_q, 0.0)
@@ -80,9 +81,9 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     mean_d = jnp.where(has, stats[6] / cnt_f, 0.0)
     sd_d = jnp.where(has, stats[7] / cnt_f - mean_d * mean_d, 0.0)
 
-    pstats = jnp.stack([grid.pstats[order * 4 + r] for r in range(4)], 0)
-    npts_f = jnp.maximum(pstats[3], 1.0)
-    rgb = pstats[0:3] / npts_f[None, :]
+    vstats = jnp.stack([grid.vstats[order * 7 + r] for r in range(3, 7)], 0)
+    npts_f = jnp.maximum(vstats[3], 1.0)
+    rgb = vstats[0:3] / npts_f[None, :]
     normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
 
     return ExtractResult(
@@ -95,7 +96,7 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
         sd_dist=sd_d,
         count=cnt,
         rgb=rgb,
-        n_pts=pstats[3].astype(jnp.int32),
+        n_pts=vstats[3].astype(jnp.int32),
     )
 
 

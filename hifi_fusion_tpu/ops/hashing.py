@@ -16,8 +16,8 @@ per-round *sort election* instead of a scatter-min claim):
    holds their id resolve;
 2. lanes seeing an empty slot stable-sort by candidate; the first lane of
    each candidate run wins (deterministic: input order breaks ties);
-3. winners are compacted to a prefix (stable, so candidates stay sorted) and
-   written with ONE sorted-unique scatter;
+3. winners (unique candidates by construction) are written with ONE
+   unique-index scatter;
 4. all contending lanes re-read the slot — winners see their own id.
 
 With per-frame-deduplicated inputs at load factor <= 0.5 this converges in
@@ -108,12 +108,9 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         first = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), scand[1:] != scand[:-1]])
         winner = contend & first
-        # compact winners to a prefix (stable -> cands stay ascending)
-        worder = jnp.argsort(~winner, stable=True)
-        wvalid = winner[worder]
-        wcand = scand[worder]
-        wids = ids[order[worder]]
-        table = scatter_set(table, wcand, wvalid, [wids], C)
+        # winners have unique candidates — scatter directly, no compaction
+        # (the fast path needs unique indices only, ops/scatter.py)
+        table = scatter_set(table, scand, winner, [ids[order]], C)
         # ---- all contenders re-read; winners see their id ----
         tk2 = table[cand]
         won = empty & (tk2 == ids)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing, pallas_kernels
-from .scatter import (compact_by, scatter_add, scatter_set, segment_ends,
+from .scatter import (scatter_add, scatter_set, segment_ends,
                       segment_reduce, segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
@@ -78,7 +78,6 @@ def integrate_frame_impl(grid: GridState,
     N = mask.shape[0]
     U = min(config.max_unique_per_frame, N)
     H = min(config.max_hits_per_frame, D * N)
-    UH = min(config.max_hit_voxels, H)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -113,7 +112,7 @@ def integrate_frame_impl(grid: GridState,
 
     us = jnp.clip(uslot, 0, C - 1)
     uplaced = uvalid & (uslot >= 0)
-    uocc0 = uplaced & grid.occupied[us]
+    uocc0 = uplaced & (grid.vstats[us * 7 + 6] > 0)
     unf0 = uplaced & grid.normal_found[us]
     nf0_s = unf0[segc] & placed_s
 
@@ -128,18 +127,17 @@ def integrate_frame_impl(grid: GridState,
     eorder = jnp.argsort(~ends, stable=True)[:U]
     esum4 = sum4[:, eorder]          # (4,U) aligned with uids/uslot
 
-    # ---- re-sort uniques by slot; all grid writes are sorted+unique -----
-    sorder = jnp.argsort(jnp.where(uplaced, uslot, _BIG), stable=True)
-    g_slot = uslot[sorder]
-    g_valid = uplaced[sorder]
-    g_occ0 = uocc0[sorder]
-    g_sum4 = esum4[:, sorder]
+    # ---- grid writes go straight out in uids order: scatter only needs
+    # UNIQUE indices (ops/scatter.py), and uslot is unique per frame ------
+    g_slot = uslot
+    g_valid = uplaced
+    g_occ0 = uocc0
+    g_sum4 = esum4
 
-    occupied = scatter_set(grid.occupied, g_slot, g_valid,
-                           [jnp.ones((U,), jnp.bool_)], C)
     # cell-id-keyed occupancy bitmap (read by the refine gate, grid.py).
     # uids ascend => words ascend; OR-reduce runs of equal words, then one
-    # sorted-unique read-modify-write.
+    # sorted-unique read-modify-write.  (Slot-keyed occupancy is derived
+    # from vstats n_pts > 0 — no separate array or scatter.)
     u32 = jnp.uint32
     word = jnp.where(uplaced, uids >> 5, _BIG)
     bitv = jnp.where(uplaced,
@@ -147,21 +145,21 @@ def integrate_frame_impl(grid: GridState,
     wst = segment_starts(word, uplaced)
     wen = segment_ends(word, uplaced)
     orscan = segment_reduce(bitv, wst, jnp.bitwise_or)
-    worder = jnp.argsort(~wen, stable=True)
-    w_idx = word[worder]
-    w_ok = wen[worder]
-    w_or = orscan[worder]
     W = config.n_occ_words
-    old_bits = grid.occ_bits[jnp.clip(w_idx, 0, W - 1)]
-    occ_bits = scatter_set(grid.occ_bits, w_idx, w_ok,
-                           [old_bits | w_or], W)
+    old_bits = grid.occ_bits[jnp.clip(word, 0, W - 1)]
+    occ_bits = scatter_set(grid.occ_bits, word, wen,
+                           [old_bits | orscan], W)
     # First-occupancy viewpoint (ghosts re-stamped like the reference's
-    # else-branch overwrite, OccupancyGrid.hpp:229,238).
-    vmask, vslot = compact_by(g_valid & ~g_occ0, g_slot)
-    vp_cols = [jnp.full((U,), viewpoint[r]) for r in range(3)]
-    viewpoint_arr = scatter_set(grid.viewpoint, vslot, vmask, vp_cols, C)
-    pstats = scatter_add(grid.pstats, g_slot, g_valid,
-                         [g_sum4[0], g_sum4[1], g_sum4[2], g_sum4[3]], C)
+    # else-branch overwrite, OccupancyGrid.hpp:229,238) + Σrgb + n_pts,
+    # fused into ONE set-scatter over the slot-sorted lanes: adds become
+    # set(old + delta), the viewpoint keeps its old value unless this is
+    # the voxel's first occupancy.
+    gs = jnp.clip(g_slot, 0, C - 1)
+    old7 = [grid.vstats[gs * 7 + r] for r in range(7)]
+    first = g_valid & ~g_occ0
+    cols7 = [jnp.where(first, viewpoint[r], old7[r]) for r in range(3)]
+    cols7 += [old7[3 + r] + g_sum4[r] for r in range(4)]
+    vstats = scatter_set(grid.vstats, g_slot, g_valid, cols7, C)
 
     # ---- buffer append: one contiguous block write ----------------------
     want_s = placed_s & ~nf0_s
@@ -220,33 +218,22 @@ def integrate_frame_impl(grid: GridState,
     # f32), the run would otherwise lose its start flag and absorb the
     # previous owner's partial sums.
     hhit = hvalid & (hdist < config.cylinder_radius)
-    vals8 = jnp.where(hhit[None, :], jnp.concatenate(
-        [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None]], axis=0), 0.0)
+    vals9 = jnp.where(hhit[None, :], jnp.concatenate(
+        [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None],
+         jnp.ones((1, H), f32)], axis=0), 0.0)
     hstarts = segment_starts(howner, hvalid)
     hends = segment_ends(howner, hvalid)
-    hsum8 = segment_sums(vals8, hstarts)
-    hcnt = segment_sums(hhit.astype(f32), hstarts)
-    n_uh = jnp.sum(hends.astype(i32))
-    overflow_hits = overflow_hits + jnp.maximum(n_uh - UH, 0)
-    ehorder = jnp.argsort(~hends, stable=True)[:UH]
-    uh_slot = howner[ehorder]
-    uh_valid = hends[ehorder]
-    uh_sum8 = hsum8[:, ehorder]
-    uh_cnt = hcnt[ehorder]
-
-    cyl_stats = scatter_add(grid.cyl_stats, uh_slot, uh_valid,
-                            [uh_sum8[r] for r in range(8)], C)
-    count = scatter_add(grid.count, uh_slot, uh_valid,
-                        [jnp.round(uh_cnt).astype(i32)], C)
+    hsum9 = segment_sums(vals9, hstarts)
+    # scatter straight from the run-end lanes: owners are unique across
+    # ends, which is all the fast path needs (no compaction)
+    cyl_stats = scatter_add(grid.cyl_stats, howner, hends,
+                            [hsum9[r] for r in range(9)], C)
 
     return grid._replace(
         key=key_table,
-        occupied=occupied,
         occ_bits=occ_bits,
-        viewpoint=viewpoint_arr,
-        count=count,
         cyl_stats=cyl_stats,
-        pstats=pstats,
+        vstats=vstats,
         buf_pts=buf_pts,
         buf_slot=buf_slot,
         buf_count=buf_count,

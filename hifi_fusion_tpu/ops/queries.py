@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FusionConfig
-from ..grid import GridState
+from ..grid import GridState, count_at, occupied_at, occupied_slots
 from . import geometry, hashing
 
 
@@ -54,7 +54,7 @@ def occupied_neighbor_counts(grid: GridState, query_slots: jax.Array,
     ids = geometry.cell_id(nc, config)
     slot = hashing.lookup(grid.key, ids.reshape(-1), valid.reshape(-1),
                           config.max_probes, C).reshape(M, -1)
-    occ = (slot >= 0) & grid.occupied[jnp.clip(slot, 0, C - 1)] & valid
+    occ = (slot >= 0) & occupied_at(grid, jnp.clip(slot, 0, C - 1)) & valid
     return jnp.sum(occ.astype(jnp.int32), axis=0)
 
 
@@ -66,7 +66,7 @@ def radius_outlier_mask(grid: GridState, *, config: FusionConfig,
     """(C,) bool: occupied voxels with enough occupied neighbors (self
     excluded from the threshold comparison, like PCL's ROR semantics)."""
     C = config.capacity
-    occ = grid.occupied[:C]
+    occ = occupied_slots(grid, C)
     slots = jnp.where(occ, jnp.arange(C, dtype=jnp.int32), -1)
     counts = occupied_neighbor_counts(grid, slots, config=config,
                                       radius_cells=radius_cells)
@@ -94,7 +94,7 @@ def query_points(grid: GridState, points: jax.Array,
     found = slot >= 0
     return PointQuery(
         slot=slot,
-        occupied=found & grid.occupied[safe],
+        occupied=found & occupied_at(grid, safe),
         normal_found=found & grid.normal_found[safe],
-        count=jnp.where(found, grid.count[safe], 0),
+        count=jnp.where(found, count_at(grid, safe), 0),
     )

@@ -42,7 +42,7 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing
 from .eigen33 import smallest_eigenpair_sym
-from .scatter import (compact_by, scatter_add, scatter_set, segment_ends,
+from .scatter import (scatter_add, scatter_set, segment_ends,
                       segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
@@ -70,7 +70,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     i32 = jnp.int32
 
     # --- candidate compaction (sorted unique slots by construction) ------
-    cand_mask = grid.occupied[:C] & ~grid.normal_found[:C]
+    from ..grid import occupied_slots
+    cand_mask = occupied_slots(grid, C) & ~grid.normal_found[:C]
     n_cand = jnp.sum(cand_mask.astype(i32))
     (cand_slot,) = jnp.nonzero(cand_mask, size=U, fill_value=-1)
     cand_ok = cand_slot >= 0
@@ -119,15 +120,14 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
     # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = jnp.stack([grid.viewpoint[cslot * 3 + r] for r in range(3)], 0)
+    vp = jnp.stack([grid.vstats[cslot * 7 + r] for r in range(3)], 0)
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
-    # cand_slot is ascending-unique with a -1 suffix -> directly scatterable
-    gmask, gslot, gnx, gny, gnz = compact_by(
-        gated, cand_slot, nvec[0], nvec[1], nvec[2])
-    normal = scatter_set(grid.normal, gslot, gmask, [gnx, gny, gnz], C)
-    normal_found = scatter_set(grid.normal_found, gslot, gmask,
+    # cand_slot is unique (with a -1 suffix) -> directly scatterable
+    normal = scatter_set(grid.normal, cand_slot, gated,
+                         [nvec[0], nvec[1], nvec[2]], C)
+    normal_found = scatter_set(grid.normal_found, cand_slot, gated,
                                [jnp.ones((U,), jnp.bool_)], C)
 
     # --- line voxels / ghost creation (OccupancyGrid.hpp:403-450) --------
@@ -167,20 +167,18 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     write_ok = s_ok & (pos < D)
     overflow_dep = grid.overflow_dep + jnp.sum(
         (s_ok & ~write_ok).astype(i32))
-    # dep element index = slot*D + pos: ascending (sL sorted, rank ascends
-    # within each run) and unique -> compact and scatter in one go.
-    wmask, wL, wpos, wO = compact_by(write_ok, sL, pos, sO)
-    dep_idx = jnp.where(wmask, wL * D + jnp.clip(wpos, 0, D - 1),
-                        D * C + jnp.arange(wL.shape[0], dtype=i32))
-    dep = grid.dep.at[dep_idx].set(wO, indices_are_sorted=True,
+    # dep element index = slot*D + pos: unique (one pos per link within a
+    # slot's run) -> scatter directly from the sorted pair lanes.
+    dep_idx = jnp.where(write_ok, sL_safe * D + jnp.clip(pos, 0, D - 1),
+                        D * C + jnp.arange(sL.shape[0], dtype=i32))
+    dep = grid.dep.at[dep_idx].set(sO, indices_are_sorted=False,
                                    unique_indices=True)
-    # per-line-slot added-link counts at segment ends
+    # per-line-slot added-link counts at segment ends (unique owners)
     pends = segment_ends(sL, s_ok)
     padded = segment_sums(write_ok.astype(f32), pstarts)
-    emask, eL, ecnt = compact_by(pends, sL, padded)
     dep_count_old = grid.dep_count
-    dep_count = scatter_add(grid.dep_count, eL, emask,
-                            [jnp.round(ecnt).astype(i32)], C)
+    dep_count = scatter_add(grid.dep_count, sL, pends,
+                            [jnp.round(padded).astype(i32)], C)
 
     # --- retroactive buffer replay (OccupancyGrid.hpp:418-440) -----------
     # 1. compact buffer lanes whose voxel gained new dependants
@@ -218,22 +216,19 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     rr = rq - rqp
     rdist = jnp.sqrt(jnp.sum(rr * rr, axis=0))
     rhit = rvalid & (rdist < config.cylinder_radius)
-    vals8 = jnp.where(rhit[None, :], jnp.concatenate(
-        [rqp, rqp * rqp, rdist[None], (rdist * rdist)[None]], axis=0), 0.0)
+    vals9 = jnp.where(rhit[None, :], jnp.concatenate(
+        [rqp, rqp * rqp, rdist[None], (rdist * rdist)[None],
+         jnp.ones((1, R), f32)], axis=0), 0.0)
     rstarts = segment_starts(rowner, rvalid)
     rends = segment_ends(rowner, rvalid)
-    rsum8 = segment_sums(vals8, rstarts)
-    rcnt = segment_sums(rhit.astype(f32), rstarts)
+    rsum9 = segment_sums(vals9, rstarts)
     UH = min(config.max_hit_voxels, R)
     eorder2 = jnp.argsort(~rends, stable=True)[:UH]
     eo_slot = rowner[eorder2]
     emask2 = rends[eorder2]
-    esum8 = rsum8[:, eorder2]
-    ecnt2 = rcnt[eorder2]
+    esum9 = rsum9[:, eorder2]
     cyl_stats = scatter_add(grid.cyl_stats, eo_slot, emask2,
-                            [esum8[r] for r in range(8)], C)
-    count = scatter_add(grid.count, eo_slot, emask2,
-                        [jnp.round(ecnt2).astype(i32)], C)
+                            [esum9[r] for r in range(9)], C)
 
     # --- buffer reclamation (post-replay) ---------------------------------
     # Lanes whose voxel now has a normal are frozen (integrate stops
@@ -260,7 +255,6 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
         dep=dep,
         dep_count=dep_count,
         cyl_stats=cyl_stats,
-        count=count,
         buf_pts=buf_pts,
         buf_slot=buf_slot,
         buf_count=buf_count,

@@ -1,30 +1,28 @@
-"""Sorted-unique scatter primitives — the TPU fast path for grid updates.
+"""Unique-index scatter primitives — the TPU fast path for grid updates.
 
-Measured on TPU v5e (amortized over 50 in-program iterations):
+Measured on TPU v5e:
 
-=====================================  ==========
-scatter-add, 307k random indices        ~4700 ms
-scatter-add, 307k sorted+unique         3.9 ms
-scatter-add, 3.7M random                38 ms
-argsort, 3.7M int32                     6.4 ms
-gather, 3.7M random                     1.7 ms
-=====================================  ==========
+=============================================  ==========
+scatter-add, 307k duplicate-laden indices       ~4700 ms
+scatter-add, 1M sorted+unique -> 4M slots       10.3 ms
+scatter-add, 1M unique, random order            11.1 ms
+scatter-add, 1M unique, masked tail jumps       11.0 ms
+argsort, 3.7M int32                             6.4 ms
+gather, 3.7M random                             1.7 ms
+=============================================  ==========
 
-Random scatter on TPU serializes; the sorted+unique form is three orders of
-magnitude faster.  Every grid mutation in this framework therefore goes
-through: sort by slot -> segment-reduce duplicates -> ONE scatter whose
-indices are ascending and unique (``indices_are_sorted=True,
-unique_indices=True``).
+What makes TPU scatter serialize is DUPLICATE indices, not order:
+``unique_indices=True`` alone unlocks the fast path (sortedness adds only
+~8%).  Every grid mutation therefore goes through: group duplicate
+contributions (sort + segment-reduce where needed) -> ONE scatter with
+unique per-lane indices, in whatever lane order the producer already has.
 
-To keep indices sorted with *masked lanes present*, scatter-target arrays
-carry a scratch tail (grid.py): masked lanes write to ascending fake offsets
-past the live region.  This requires the (slots, valid) input to be
-**prefix-packed**: valid lanes first, slots ascending and unique within the
-prefix.  ``compact_by`` produces that form from any mask with one stable
-sort.
+Masked lanes write to per-lane fake offsets past the live region (the
+scratch tail every scatter-target array carries, grid.py), keeping indices
+unique without compaction.  ``compact_by`` remains for callers that need a
+*gather*-side packing (bounding a lane budget), not for scatters.
 
-Multi-component fields use slot-major flat layout (element ``slot*k + r``)
-so a sorted slot run stays sorted after expanding k components.
+Multi-component fields use slot-major flat layout (element ``slot*k + r``).
 """
 
 from __future__ import annotations
@@ -51,11 +49,11 @@ def compact_by(mask: jax.Array, *arrays: jax.Array
 
 def _lane_indices(slots: jax.Array, valid: jax.Array, k: int,
                   capacity: int) -> jax.Array:
-    """Prefix-packed sorted slots -> (k*U,) slot-major element indices.
+    """Per-lane slots -> (k*U,) slot-major element indices.
 
-    Valid lanes map to ``slot*k + r``; invalid (suffix) lanes map to
-    ascending scratch-tail offsets past ``k*capacity``.  The result is
-    globally ascending and unique, satisfying the XLA fast-path contract.
+    Valid lanes map to ``slot*k + r``; invalid lanes map to per-lane
+    scratch-tail offsets past ``k*capacity``.  Unique as long as the valid
+    slots are unique — no ordering or packing requirement.
     """
     U = slots.shape[0]
     ar = jnp.arange(k * U, dtype=jnp.int32)
@@ -67,28 +65,32 @@ def _lane_indices(slots: jax.Array, valid: jax.Array, k: int,
 
 
 def scatter_add(arr: jax.Array, slots: jax.Array, valid: jax.Array,
-                cols: Sequence[jax.Array], capacity: int) -> jax.Array:
-    """arr: flat slot-major (k*(C+T),); slots: (U,) prefix-packed sorted
-    unique; cols: k arrays of (U,) values.  Requires U <= T."""
+                cols: Sequence[jax.Array], capacity: int,
+                sorted_lanes: bool = False) -> jax.Array:
+    """arr: flat slot-major (k*(C+T),); slots: (U,) unique among valid
+    lanes (any order); cols: k arrays of (U,) values.  Requires U <= T.
+    ``sorted_lanes=True`` when valid slots ascend with invalid lanes only
+    in a suffix (minor fast-path bonus)."""
     k = len(cols)
     U = slots.shape[0]
     assert k * U <= arr.shape[0] - k * capacity, \
         f"scatter tail too small: need {U} slots"
     idx = _lane_indices(slots, valid, k, capacity)
     vals = cols[0] if k == 1 else jnp.stack(cols, axis=-1).reshape(-1)
-    return arr.at[idx].add(vals, indices_are_sorted=True,
+    return arr.at[idx].add(vals, indices_are_sorted=sorted_lanes,
                            unique_indices=True)
 
 
 def scatter_set(arr: jax.Array, slots: jax.Array, valid: jax.Array,
-                cols: Sequence[jax.Array], capacity: int) -> jax.Array:
+                cols: Sequence[jax.Array], capacity: int,
+                sorted_lanes: bool = False) -> jax.Array:
     k = len(cols)
     U = slots.shape[0]
     assert k * U <= arr.shape[0] - k * capacity, \
         f"scatter tail too small: need {U} slots"
     idx = _lane_indices(slots, valid, k, capacity)
     vals = cols[0] if k == 1 else jnp.stack(cols, axis=-1).reshape(-1)
-    return arr.at[idx].set(vals, indices_are_sorted=True,
+    return arr.at[idx].set(vals, indices_are_sorted=sorted_lanes,
                            unique_indices=True)
 
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from hifi_fusion_tpu.config import small_test_config
-from hifi_fusion_tpu.grid import make_grid
+from hifi_fusion_tpu.grid import make_grid, occupied_slots
 from hifi_fusion_tpu.models.tsdf import (TsdfConfig, TsdfPipeline,
                                          tsdf_to_host)
 from hifi_fusion_tpu.ops import integrate_frame, refine_pass
@@ -103,7 +103,7 @@ def _fused_grid(n_frames=5):
 def test_neighbor_counts_match_bruteforce():
     grid = _fused_grid(3)
     key = np.asarray(grid.key[:CFG.capacity])
-    occ = np.asarray(grid.occupied[:CFG.capacity])
+    occ = np.asarray(occupied_slots(grid, CFG.capacity))
     occupied_cells = set(key[occ].tolist())
     slots = np.flatnonzero(occ)[:50].astype(np.int32)
     counts = occupied_neighbor_counts(grid, jnp.asarray(slots),
@@ -135,21 +135,23 @@ def test_radius_outlier_removes_isolated_voxel():
     lone = jnp.asarray([int(CFG.dims[2] * CFG.dims[1] * 3 + 7)], jnp.int32)
     key, slot, _ = H.lookup_or_insert(grid.key, lone, jnp.ones(1, bool),
                                       CFG.max_probes, CFG.capacity)
+    # mark occupied: occupancy derives from vstats n_pts > 0
     grid = grid._replace(
-        key=key, occupied=grid.occupied.at[slot].set(True))
+        key=key, vstats=grid.vstats.at[slot * 7 + 6].set(1.0))
     keep = radius_outlier_mask(grid, config=CFG, radius_cells=2,
                                min_neighbors=4)
     assert not bool(keep[slot][0])          # isolated voxel rejected
     # most surface voxels survive
     surv = (float(jnp.sum(keep))
-            / float(jnp.sum(grid.occupied[:CFG.capacity])))
+            / float(jnp.sum(occupied_slots(grid, CFG.capacity))))
     assert surv > 0.7
 
 
 def test_query_points():
     grid = _fused_grid(4)
     key = np.asarray(grid.key[:CFG.capacity])
-    occ_slots = np.flatnonzero(np.asarray(grid.occupied[:CFG.capacity]))[:10]
+    occ_slots = np.flatnonzero(
+        np.asarray(occupied_slots(grid, CFG.capacity)))[:10]
     from hifi_fusion_tpu.ops.geometry import cell_center, id_to_coords
     pts = cell_center(id_to_coords(jnp.asarray(key[occ_slots]), CFG), CFG)
     q = query_points(grid, pts, config=CFG)
