@@ -347,15 +347,18 @@ def run_verify(n_frames=4):
 
 def _phases():
     cfg = bench_config()
-    n_gen = FRAMES
-    gen_budget = max(min(60.0, remaining() * 0.15), 10.0)
-    # frame generation is ~0.22 s/frame NumPy; fit inside the box
-    est = 0.25 * n_gen
-    if est > gen_budget:
-        n_gen = max(int(gen_budget / 0.25), 2 * REFINE_EVERY)
+    gen_budget = max(min(90.0, remaining() * 0.2), 10.0)
+    # measure generation cost on a 2-frame probe, then fit the budget
+    t0 = time.monotonic()
+    probe = make_frames(cfg, 2)
+    per_frame = max((time.monotonic() - t0) / 2, 1e-3)
+    n_gen = int(min(FRAMES, max(gen_budget / per_frame, 2 * REFINE_EVERY)))
+    if n_gen < FRAMES:
         log(f"time-boxing sweep to {n_gen} frames "
-            f"(budget {gen_budget:.0f}s)")
-    frames = make_frames(cfg, n_gen)
+            f"({per_frame:.2f}s/frame, budget {gen_budget:.0f}s)")
+    # make_sweep is seed-deterministic: the probe is frames[:2] of any
+    # longer sweep, so extend rather than regenerate
+    frames = (probe + make_frames(cfg, n_gen)[2:]) if n_gen > 2 else probe
     try:
         run_tpu(cfg, frames)
     except Exception as e:

@@ -72,6 +72,16 @@ class FusionConfig:
     store_color: bool = True          # accumulate per-voxel mean color
                                       # (reference decodes RGB but drops it:
                                       #  FUSION.cpp:204-212 vs GRID.hpp:456-601)
+    shard_x_cells: int = 0            # when > 0: this grid is one x-slab
+                                      # shard — cell ids, coord validity and
+                                      # all capacity sizing use this LOCAL
+                                      # x-extent (slab+halo, in cells) while
+                                      # world->coord geometry stays in
+                                      # GLOBAL coordinates (bit-identical
+                                      # across shards); kernels receive a
+                                      # dynamic (3,) coord offset.  Lifts the
+                                      # int32 cell-id cap from the domain to
+                                      # the shard (parallel/sharding.py).
     refine_every: int = 16            # frames between refine passes (the
                                       # reference refines on a 5s wall-clock
                                       # timer, FUSION.cpp:323; we use a frame
@@ -95,12 +105,20 @@ class FusionConfig:
     @property
     def dims(self) -> Tuple[int, int, int]:
         """Grid dimensions in cells; valid cells are [0, dim) per axis
-        (reference validCoord, OccupancyGrid.hpp:647-650)."""
+        (reference validCoord, OccupancyGrid.hpp:647-650).  For a shard
+        (shard_x_cells > 0) the x extent is the LOCAL slab+halo width."""
+        dx = self.shard_x_cells if self.shard_x_cells > 0 else _dim(
+            self.bbox[0], self.bbox[1], self.resolution[0])
         return (
-            _dim(self.bbox[0], self.bbox[1], self.resolution[0]),
+            dx,
             _dim(self.bbox[2], self.bbox[3], self.resolution[1]),
             _dim(self.bbox[4], self.bbox[5], self.resolution[2]),
         )
+
+    @property
+    def global_x_cells(self) -> int:
+        """x extent of the full (unsharded) domain in cells."""
+        return _dim(self.bbox[0], self.bbox[1], self.resolution[0])
 
     @property
     def n_cells(self) -> int:

@@ -38,13 +38,13 @@ from ..ops.refine import refine_pass, refine_pass_impl
 
 
 def _step_impl(grid: GridState, points_cam, rgb, mask, pose,
-               config: FusionConfig) -> GridState:
+               config: FusionConfig, offset=None) -> GridState:
     grid = integrate_frame_impl(grid, points_cam, rgb, mask, pose,
-                                config=config)
+                                config=config, offset=offset)
     if config.refine_every > 0:
         grid = jax.lax.cond(
             (grid.frames % config.refine_every) == 0,
-            lambda g: refine_pass_impl(g, config=config),
+            lambda g: refine_pass_impl(g, config=config, offset=offset),
             lambda g: g,
             grid)
     return grid

@@ -50,10 +50,12 @@ class ExtractResult(NamedTuple):
 
 
 def extract_impl(grid: GridState, *, config: FusionConfig,
-                 x_range=None) -> ExtractResult:
+                 x_range=None, offset=None) -> ExtractResult:
     """``x_range=(lo, hi)`` restricts emission to voxels whose x cell index
     lies in [lo, hi) — used by the sharded path so each device emits only
-    its core slab (halo copies are suppressed)."""
+    its core slab (halo copies are suppressed).  ``offset``: shard-local ->
+    global coordinate offset; emitted ``cell`` ids stay LOCAL (the sharded
+    host assembly maps them to global int64 ids), centers are global."""
     from ..grid import occupied_slots
     C = config.capacity
     key = grid.key[:C]
@@ -68,8 +70,8 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     order = jnp.argsort(sort_key)
     cell = sort_key[order]
 
-    coords = geometry.id_to_coords(jnp.maximum(cell, 0), config)
-    center = geometry.cell_center(coords, config)          # (3,C)
+    center = geometry.center_of_ids(jnp.maximum(cell, 0), config,
+                                    offset)                # (3,C)
 
     stats = jnp.stack([grid.cyl_stats[order * 9 + r] for r in range(9)], 0)
     cnt = jnp.round(stats[8]).astype(jnp.int32)

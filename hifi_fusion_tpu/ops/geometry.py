@@ -87,6 +87,21 @@ def id_to_coords(ids: jax.Array, config: FusionConfig) -> jax.Array:
     return jnp.stack([x, y, z], axis=0)
 
 
+def center_of_ids(ids: jax.Array, config: FusionConfig,
+                  offset=None) -> jax.Array:
+    """Dense cell ids -> (3, ...) f32 GLOBAL cell centers.
+
+    ``offset`` ((3,) i32 or None): for sharded grids whose ids live in a
+    shard-LOCAL coordinate space (config.shard_x_cells), the per-shard
+    local->global coordinate offset.  World geometry always stays global so
+    f32 arithmetic is bit-identical across shards.
+    """
+    c = id_to_coords(ids, config)
+    if offset is not None:
+        c = c + jnp.reshape(offset, (3,) + (1,) * (c.ndim - 1))
+    return cell_center(c, config)
+
+
 def project_to_axis(q: jax.Array, n: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Centered axis projection, planar layout.
 

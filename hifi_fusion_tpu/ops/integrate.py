@@ -42,15 +42,23 @@ from .scatter import (scatter_add, scatter_set, segment_ends,
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-def _frontend(points_cam, mask, pose, config):
-    """Transform + clip + cell id + validity (Pallas on TPU, XLA off-TPU)."""
-    if config.use_pallas and pallas_kernels.frontend_available():
+def _frontend(points_cam, mask, pose, config, offset=None):
+    """Transform + clip + cell id + validity (Pallas on TPU, XLA off-TPU).
+
+    ``offset``: shard-local coordinate offset (see geometry.center_of_ids);
+    world->coord math stays GLOBAL (bit-identical across shards), only the
+    integer coords shift into the shard's local id space.
+    """
+    if (config.use_pallas and offset is None
+            and pallas_kernels.frontend_available()):
         return pallas_kernels.transform_clip_cellid(
             points_cam, mask, pose, config=config)
     zmin, zmax = config.z_clip
     zclip = (points_cam[2] > zmin) & (points_cam[2] < zmax)
     world = geometry.transform_points(points_cam, pose)
     coords = geometry.cell_coords(world, config)
+    if offset is not None:
+        coords = coords - offset[:, None]
     valid = (mask & zclip
              & geometry.valid_points(world, config)
              & geometry.valid_coords(coords, config))
@@ -71,7 +79,8 @@ def integrate_frame_impl(grid: GridState,
                          rgb: jax.Array,         # (3,N) f32 colors [0,255]
                          mask: jax.Array,        # (N,)  bool lane validity
                          pose: jax.Array,        # (4,4) f32 fusion_T_camera
-                         *, config: FusionConfig) -> GridState:
+                         *, config: FusionConfig,
+                         offset=None) -> GridState:
     C = config.capacity
     D = config.max_dependants
     B = config.buffer_capacity
@@ -81,7 +90,7 @@ def integrate_frame_impl(grid: GridState,
     f32 = jnp.float32
     i32 = jnp.int32
 
-    world, ids, valid = _frontend(points_cam, mask, pose, config)
+    world, ids, valid = _frontend(points_cam, mask, pose, config, offset)
     viewpoint = pose[:3, 3]
 
     # ---- sort the frame by cell id (invalid lanes last) -----------------
@@ -189,8 +198,8 @@ def integrate_frame_impl(grid: GridState,
     dep_cnt = grid.dep_count[slot_ss]
     oactive = placed_s[None, :] & (dj < dep_cnt[None, :]) & (dep_g >= 0)
     osafe = jnp.clip(dep_g, 0, C - 1)
-    o_center = geometry.cell_center(
-        geometry.id_to_coords(key_table[osafe], config), config)  # (3,D,N)
+    o_center = geometry.center_of_ids(key_table[osafe], config,
+                                      offset)                 # (3,D,N)
     o_normal = jnp.stack(
         [grid.normal[osafe * 3 + r] for r in range(3)], axis=0)
     q = world_s[:, None, :] - o_center
@@ -206,8 +215,7 @@ def integrate_frame_impl(grid: GridState,
     hvalid = howner != _BIG
     hpt = world_s[:, horder % N]                           # (3,H)
     hosafe = jnp.clip(howner, 0, C - 1)
-    h_center = geometry.cell_center(
-        geometry.id_to_coords(key_table[hosafe], config), config)
+    h_center = geometry.center_of_ids(key_table[hosafe], config, offset)
     h_normal = jnp.stack(
         [grid.normal[hosafe * 3 + r] for r in range(3)], axis=0)
     hq = hpt - h_center

@@ -57,7 +57,8 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
     return grid.reshape(-1, 3).T.copy()
 
 
-def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
+def refine_pass_impl(grid: GridState, *, config: FusionConfig,
+                     offset=None) -> GridState:
     C = config.capacity
     D = config.max_dependants
     U = config.max_refine_candidates
@@ -79,7 +80,11 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     overflow_refine = grid.overflow_refine + jnp.maximum(n_cand - U, 0)
 
     coords = geometry.id_to_coords(grid.key[cslot], config)       # (3,U)
-    center = geometry.cell_center(coords, config)                 # (3,U)
+    # coords are shard-LOCAL when offset is set; centers are always GLOBAL
+    if offset is None:
+        center = geometry.cell_center(coords, config)             # (3,U)
+    else:
+        center = geometry.cell_center(coords + offset[:, None], config)
 
     # --- neighborhood occupancy (OccupancyGrid.hpp:334-349) --------------
     # One u32 gather + bit test per neighbor from the cell-id-keyed
@@ -137,6 +142,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
                 + steps[None, :, None] * res[0] * nvec[:, None, :])  # (3,L,U)
     lp_valid = geometry.valid_points(line_pts, config) & gated[None, :]
     lcoords = geometry.cell_coords(line_pts, config)
+    if offset is not None:
+        lcoords = lcoords - offset[:, None, None]
     lp_valid = lp_valid & geometry.valid_coords(lcoords, config)  # (L,U)
     lids = geometry.cell_id(lcoords, config)
     # find-or-insert the line cells; fresh slots get only their key ->
@@ -207,8 +214,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig) -> GridState:
     overflow_replay = overflow_replay + jnp.maximum(n_rlanes - R, 0)
     r_pt = a_pts[:, rorder % A]                                   # (3,R)
     rsafe = jnp.clip(rowner, 0, C - 1)
-    r_center = geometry.cell_center(
-        geometry.id_to_coords(key_table[rsafe], config), config)
+    r_center = geometry.center_of_ids(key_table[rsafe], config, offset)
     r_normal = jnp.stack([normal[rsafe * 3 + r] for r in range(3)], 0)
     rq = r_pt - r_center
     t = jnp.sum(rq * r_normal, axis=0, keepdims=True)

@@ -7,22 +7,32 @@ decomposition under shard_map*:
 
 * The x cell range is split into one contiguous core slab per device; each
   device owns an independent voxel hash shard covering its core plus a halo
-  of ``k_neighborhood + line_k`` cells on each side.
+  of ``k_neighborhood + line_k (+1)`` cells on each side.
+* **Shard-LOCAL id spaces**: each shard addresses cells in its own
+  slab+halo window (``config.shard_x_cells``), so the int32 dense-id cap
+  applies PER SHARD — the launch-file bbox at 1 mm (7.8 G logical cells,
+  impossible for the reference's dense storage at ~125 GB) shards onto an
+  8-device mesh at < 1 G cells each.  World->coordinate f32 math stays
+  GLOBAL and therefore bit-identical across shards (no razor-edge
+  disagreement at slab boundaries); kernels receive a per-device integer
+  coordinate offset (data, derived from ``axis_index``) and shift only the
+  integer cell coords.
 * Each frame is **replicated** to all devices (a few MB over ICI — far
   cheaper than an all-to-all of routed points at this scale); every device
-  masks the frame to its slab+halo and integrates locally.  Halo voxels are
-  computed redundantly on both neighbors — and *identically*, because the
-  integrate/refine kernels are deterministic functions of the frame stream.
-* Refinement is purely local: the halo width is chosen so that every
-  quantity affecting a core voxel's output — occupancy within k for its
-  PCA gate, line voxels within K feeding its cylinder, and *their* gating
-  occupancy within K+k — is exact inside the halo.  Corruption beyond K+k
-  cells from the core (e.g. one-sided neighborhoods) can only affect halo
+  keeps the points whose cells fall in its local window (the local coord
+  validity test) and integrates locally.  Halo voxels are computed
+  redundantly on both neighbors — and *identically*.
+* Refinement is purely local: the halo width covers every quantity
+  affecting a core voxel's output — occupancy within k for its PCA gate,
+  line voxels within K feeding its cylinder, and *their* gating occupancy
+  within K+k.  Errors beyond K+k cells from the core can only affect halo
   voxels, which are never emitted.
-* Extraction masks each shard to its core slab, so voxels are emitted
-  exactly once; dense cell ids are x-major, so concatenating shard outputs
-  preserves global sorted order.  The only cross-device communication in
-  the whole pipeline is the implicit frame broadcast and the output gather.
+* Extraction masks each shard to its core slab (in local coords), so
+  voxels are emitted exactly once; host assembly maps local ids to global
+  int64 ids.  Ids are x-major and slabs ascend in x, so concatenating
+  shard outputs preserves global sorted order.  The only cross-device
+  communication in the whole pipeline is the implicit frame broadcast and
+  the output gather.
 
 This is the spatial-workload analog of context parallelism (survey §5.7):
 shard the domain, exchange halos — except the halo exchange is folded into
@@ -94,19 +104,25 @@ class ShardedFusion:
 
     def __init__(self, config: FusionConfig, n_devices: Optional[int] = None,
                  devices: Optional[Sequence] = None):
-        self.config = config.validate()
         if devices is None:
             devices = jax.devices()[:n_devices] if n_devices \
                 else jax.devices()
         self.n = len(devices)
         self.mesh = Mesh(np.asarray(devices), ("x",))
-        xdim = config.dims[0]
+        # NB: the GLOBAL config is deliberately not validated — the whole
+        # point of sharding is domains whose global cell count exceeds the
+        # per-shard int32 cap; only the per-shard LOCAL config must pass.
+        self.global_config = config
+        xdim = config.global_x_cells
         self.slab_w = -(-xdim // self.n)        # ceil
-        # +1 guards against 1-ulp cell-assignment disagreement between the
-        # slab mask's XLA arithmetic and the Pallas frontend at cell edges
+        # +1 keeps headroom for any future frontend whose f32 arithmetic
+        # differs by 1 ulp (coord math is currently global/bit-identical)
         self.halo = config.k_neighborhood + config.line_k + 1
-        cfg = self.config
         W, halo = self.slab_w, self.halo
+        import dataclasses as _dc
+        cfg = _dc.replace(config,
+                          shard_x_cells=W + 2 * halo).validate()
+        self.config = cfg                        # per-shard local config
 
         state_spec = GridState(**{
             f: (P(None, "x") if f in _PLANAR_GRID_FIELDS else P("x"))
@@ -116,21 +132,19 @@ class ShardedFusion:
             for f in ExtractResult._fields})
         rep = P()
 
-        def core_range():
-            d = jax.lax.axis_index("x")
-            lo = d * W
-            hi = jnp.minimum(lo + W, xdim)
-            return lo, hi
+        def dev_offset():
+            """(3,) i32 local->global coordinate offset of this shard."""
+            d = jax.lax.axis_index("x").astype(jnp.int32)
+            return jnp.stack([d * W - halo, jnp.int32(0), jnp.int32(0)])
+
+        def core_range_local():
+            d = jax.lax.axis_index("x").astype(jnp.int32)
+            width = jnp.minimum(W, xdim - d * W)
+            return jnp.int32(halo), halo + width
 
         @partial(shard_map, mesh=self.mesh, in_specs=(), out_specs=state_spec)
         def _init():
             return _wrap(make_grid(cfg))
-
-        def _slab_mask(pts_cam, mask, pose):
-            world = geometry.transform_points(pts_cam, pose)
-            cx = geometry.cell_coords(world, cfg)[0]
-            lo, hi = core_range()
-            return mask & (cx >= lo - halo) & (cx < hi + halo)
 
         @partial(jax.jit, donate_argnames=("grid",))
         @partial(shard_map, mesh=self.mesh,
@@ -138,8 +152,8 @@ class ShardedFusion:
                  out_specs=state_spec)
         def _step(grid, pts, rgb, mask, pose):
             g = _unwrap(grid)
-            g = _step_impl(g, pts, rgb, _slab_mask(pts, mask, pose), pose,
-                           cfg)
+            g = _step_impl(g, pts, rgb, mask, pose, cfg,
+                           offset=dev_offset())
             return _wrap(g)
 
         @partial(jax.jit, donate_argnames=("grid",))
@@ -148,24 +162,24 @@ class ShardedFusion:
                  out_specs=state_spec)
         def _integrate(grid, pts, rgb, mask, pose):
             g = _unwrap(grid)
-            g = integrate_frame_impl(g, pts, rgb,
-                                     _slab_mask(pts, mask, pose), pose,
-                                     config=cfg)
+            g = integrate_frame_impl(g, pts, rgb, mask, pose,
+                                     config=cfg, offset=dev_offset())
             return _wrap(g)
 
         @partial(jax.jit, donate_argnames=("grid",))
         @partial(shard_map, mesh=self.mesh, in_specs=(state_spec,),
                  out_specs=state_spec)
         def _refine(grid):
-            return _wrap(refine_pass_impl(_unwrap(grid), config=cfg))
+            return _wrap(refine_pass_impl(_unwrap(grid), config=cfg,
+                                          offset=dev_offset()))
 
         @jax.jit
         @partial(shard_map, mesh=self.mesh, in_specs=(state_spec,),
                  out_specs=extract_spec)
         def _extract(grid):
             g = _unwrap(grid)
-            lo, hi = core_range()
-            r = extract_impl(g, config=cfg, x_range=(lo, hi))
+            r = extract_impl(g, config=cfg, x_range=core_range_local(),
+                             offset=dev_offset())
             return r._replace(n_valid=r.n_valid[None])
 
         @partial(jax.jit, donate_argnames=("grid",))
@@ -174,11 +188,11 @@ class ShardedFusion:
                  out_specs=state_spec)
         def _sweep(grid, pts, rgb, mask, poses):
             g = _unwrap(grid)
+            off = dev_offset()
 
             def body(gg, xs):
                 p, c, m, t = xs
-                return _step_impl(gg, p, c, _slab_mask(p, m, t), t,
-                                  cfg), None
+                return _step_impl(gg, p, c, m, t, cfg, offset=off), None
 
             g, _ = jax.lax.scan(body, g, (pts, rgb, mask, poses))
             return _wrap(g)
@@ -208,7 +222,9 @@ class ShardedFusion:
 
     def extract(self, grid) -> "ShardedExtract":
         r = self._extract_fn(grid)
-        return ShardedExtract(r, self.n, self.config.capacity)
+        return ShardedExtract(r, self.n, self.config.capacity,
+                              config=self.config, slab_w=self.slab_w,
+                              halo=self.halo)
 
     def metrics(self, grid) -> dict:
         C = self.config.capacity
@@ -235,10 +251,15 @@ class ShardedFusion:
 class ShardedExtract:
     """Device-sharded extraction result + host assembly."""
 
-    def __init__(self, result: ExtractResult, n_shards: int, capacity: int):
+    def __init__(self, result: ExtractResult, n_shards: int, capacity: int,
+                 config: Optional[FusionConfig] = None, slab_w: int = 0,
+                 halo: int = 0):
         self.result = result
         self.n_shards = n_shards
         self.capacity = capacity
+        self.config = config
+        self.slab_w = slab_w
+        self.halo = halo
 
     @property
     def n_valid(self):
@@ -246,15 +267,20 @@ class ShardedExtract:
 
     def to_host(self) -> dict:
         """Concatenate per-shard core emissions (already globally sorted:
-        dense cell ids are x-major and slabs ascend in x)."""
+        ids are x-major and slabs ascend in x), mapping shard-LOCAL cell
+        ids to GLOBAL int64 ids via each shard's x offset."""
         r = self.result
         n_per = np.asarray(r.n_valid)
+        _, dy, dz = self.config.dims
+        yz = np.int64(dy) * np.int64(dz)
         parts = {k: [] for k in ("cell", "centroid", "normal", "sd",
                                  "mean_dist", "sd_dist", "count", "rgb",
                                  "n_pts")}
         for s in range(self.n_shards):
             sl = slice(s * self.capacity, s * self.capacity + int(n_per[s]))
-            parts["cell"].append(np.asarray(r.cell[sl]))
+            local = np.asarray(r.cell[sl]).astype(np.int64)
+            off_x = np.int64(s * self.slab_w - self.halo)
+            parts["cell"].append((local // yz + off_x) * yz + local % yz)
             parts["centroid"].append(np.asarray(r.centroid[:, sl]).T)
             parts["normal"].append(np.asarray(r.normal[:, sl]).T)
             parts["sd"].append(np.asarray(r.sd[:, sl]).T)

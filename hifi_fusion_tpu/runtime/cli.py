@@ -122,10 +122,16 @@ class _ControlHandler(socketserver.StreamRequestHandler):
                 sess.reset(full=bool(msg.get("full", False)))
                 self._reply({"ok": True})
             elif cmd == "process":
-                r = sess.process()
+                try:
+                    r = sess.process(
+                        variants=tuple(msg.get("variants", ())))
+                except TimeoutError as e:
+                    self._reply({"ok": False, "error": str(e)})
+                    continue
                 self._reply({"ok": True, "n_points": r["n_points"],
                              "cloud": r["cloud"],
-                             "metadata": r["metadata"]})
+                             "metadata": r["metadata"],
+                             "variants": r["variants"]})
             elif cmd == "metrics":
                 self._reply({"ok": True, "metrics": sess.metrics()})
             elif cmd == "frame":

@@ -1,0 +1,72 @@
+"""TCP control plane round trip: the reference's Trigger-service verbs
+(start/stop/process, README.md:7-10) over the line-JSON protocol plus the
+binary frame ingest (runtime/cli.py serve)."""
+
+import json
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from hifi_fusion_tpu.config import small_test_config
+from hifi_fusion_tpu.runtime.cli import _ControlHandler
+from hifi_fusion_tpu.runtime.session import FusionSession
+
+
+def _send(f, obj):
+    f.sendall((json.dumps(obj) + "\n").encode())
+
+
+def _recv(rf):
+    return json.loads(rf.readline())
+
+
+def test_serve_roundtrip(tmp_path):
+    cfg = small_test_config(refine_every=1)
+    session = FusionSession(cfg, output_dir=str(tmp_path))
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0),
+                                             _ControlHandler)
+    server.daemon_threads = True
+    server.session = session
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # first-touch jit compiles happen behind process(); generous timeout
+        s = socket.create_connection(("127.0.0.1", port), timeout=600)
+        rf = s.makefile("rb")
+        _send(s, {"cmd": "start"})
+        assert _recv(rf)["ok"]
+
+        # one synthetic frame over the wire (x,y,z,rgb f32 records)
+        rng = np.random.default_rng(0)
+        n = 500
+        rec = np.zeros((n, 4), np.float32)
+        rec[:, 0:2] = rng.uniform(-0.25, 0.25, (n, 2))
+        rec[:, 2] = 0.1
+        pose = np.eye(4)
+        _send(s, {"cmd": "frame", "n": n,
+                  "pose": pose.reshape(-1).tolist()})
+        s.sendall(rec.tobytes())
+        r = _recv(rf)
+        assert r["ok"] and r["accepted"]
+
+        _send(s, {"cmd": "metrics"})
+        m = _recv(rf)["metrics"]
+        assert m["frames_received"] == 1
+
+        _send(s, {"cmd": "process", "variants": ["classified"]})
+        r = _recv(rf)
+        assert r["ok"]
+        assert r["n_points"] >= 0
+        assert "classified" in r["variants"]
+
+        _send(s, {"cmd": "nonsense"})
+        assert not _recv(rf)["ok"]
+
+        _send(s, {"cmd": "shutdown"})
+        assert _recv(rf)["ok"]
+    finally:
+        server.shutdown()
+        session.close()

@@ -68,6 +68,39 @@ def test_sharded_matches_single(n_dev):
     assert m["devices"] == n_dev
 
 
+def test_flagship_bbox_1mm_shards_within_int32():
+    """The launch-file bbox at 1 mm pitch (7.8 G logical cells — impossible
+    both for the reference's dense storage, ~125 GB, and for a single
+    int32-id grid) must be addressable via shard-LOCAL id spaces on an
+    8-device mesh."""
+    from hifi_fusion_tpu.config import FusionConfig
+    flagship = FusionConfig(bbox=(-0.80, 1.80, -1.5, 1.5, 0.0, 1.0),
+                            resolution=(0.001, 0.001, 0.001))
+    n_cells_global = (flagship.global_x_cells
+                      * flagship.dims[1] * flagship.dims[2])
+    assert n_cells_global >= 2 ** 31          # single grid cannot hold it
+    with pytest.raises(ValueError):
+        flagship.validate()
+    # per-shard local windows stay under the int32 cap on 8 devices
+    sf = ShardedFusion(flagship, n_devices=8)
+    assert sf.config.shard_x_cells == sf.slab_w + 2 * sf.halo
+    assert sf.config.n_cells < 2 ** 31
+    # local ids are globally unique after the host-side offset mapping:
+    # shards tile the x axis in slab_w strides
+    assert sf.slab_w * 8 >= flagship.global_x_cells
+
+
+def test_sharded_ghosts_cross_slab_boundary():
+    """A surface spanning slab boundaries: dependant lines and ghost voxels
+    must behave identically sharded vs single-device (covered by the
+    equality test, but this pins a refine-heavy cadence)."""
+    frames = _frames(6, 700, seed=13)
+    single = _run_single(frames, refine_every=1)
+    _, _, sharded = _run_sharded(frames, 8, refine_every=1)
+    np.testing.assert_array_equal(sharded["cell"], single["cell"])
+    np.testing.assert_array_equal(sharded["count"], single["count"])
+
+
 def test_sharded_sweep_scan():
     frames = _frames(4, 400, seed=9)
     pts = jnp.asarray(np.stack([f.points_cam for f in frames]))
