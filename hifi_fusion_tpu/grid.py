@@ -163,6 +163,7 @@ def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
         "slots_used": used,
         "hash_load_factor": used / C,
         "normals_found": int(jnp.sum(grid.normal_found[:C])),
+        "max_dependants_used": int(jnp.max(grid.dep_count[:C])),
         "buffered_points": int(grid.buf_count),
         "frames": int(grid.frames),
         "overflow_probe": int(grid.overflow_probe),
