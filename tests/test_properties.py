@@ -1,0 +1,131 @@
+"""Hypothesis property tests for the algebraic invariants the parallel
+design rests on (SURVEY §4 "property tests"):
+
+* centered-sum accumulators commute and merge associatively — the property
+  that makes parallel scatter-adds equal the reference's sequential Welford
+  limits (grid.py design note);
+* segment reductions equal per-segment NumPy sums for arbitrary
+  segmentations;
+* the closed-form eigen33 matches numpy.linalg.eigh on random symmetric
+  matrices (ill-conditioned ones included);
+* unique-index lane scattering is a permutation-independent accumulation.
+
+All properties run the jitted primitives at ONE fixed shape so each test
+pays a single compile.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import jax
+import jax.numpy as jnp
+
+from hifi_fusion_tpu.ops.eigen33 import smallest_eigenpair_sym
+from hifi_fusion_tpu.ops.scatter import (scatter_add, segment_starts,
+                                         segment_sums)
+
+LANES = 256
+
+
+def _np_segment_sums(vals, seg_ids):
+    out = {}
+    for v, s in zip(vals, seg_ids):
+        out[s] = out.get(s, 0.0) + float(v)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_segment_sums_match_numpy(seed):
+    rng = np.random.default_rng(seed)
+    # sorted segment ids with random run lengths; some lanes invalid
+    seg = np.sort(rng.integers(0, 40, LANES)).astype(np.int32)
+    valid = rng.random(LANES) < 0.8
+    vals = rng.normal(size=LANES).astype(np.float32)
+    vals_m = np.where(valid, vals, 0.0).astype(np.float32)
+    key = np.where(valid, seg, np.iinfo(np.int32).max)
+    order = np.argsort(key, kind="stable")
+    key_s, vals_s, valid_s = key[order], vals_m[order], valid[order]
+    starts = segment_starts(jnp.asarray(key_s), jnp.asarray(valid_s))
+    sums = np.asarray(segment_sums(jnp.asarray(vals_s), starts))
+    ends = np.zeros(LANES, bool)
+    for i in range(LANES):
+        if valid_s[i] and (i + 1 == LANES or key_s[i + 1] != key_s[i]):
+            ends[i] = True
+    want = _np_segment_sums(vals_s[valid_s], key_s[valid_s])
+    for i in np.flatnonzero(ends):
+        np.testing.assert_allclose(sums[i], want[key_s[i]],
+                                   rtol=1e-5, atol=1e-5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_centered_sums_merge_associatively(seed):
+    """Splitting a point set into arbitrary chunks and summing the chunk
+    accumulators gives the same statistics as one pass — the parallel
+    Welford-equivalence (reference's sequential update order-dependence is
+    what this replaces, OccupancyGrid.hpp:264-273)."""
+    rng = np.random.default_rng(seed)
+    n = 200
+    q = rng.normal(scale=1e-3, size=(n, 3))
+    cuts = np.sort(rng.integers(0, n, 3))
+    parts = np.split(q, cuts)
+    acc = np.zeros(7)
+    for p in parts:
+        if p.size == 0:
+            continue
+        acc += np.concatenate([p.sum(0), (p * p).sum(0), [len(p)]])
+    whole = np.concatenate([q.sum(0), (q * q).sum(0), [n]])
+    np.testing.assert_allclose(acc, whole, rtol=1e-12)
+    # variance from merged sums == two-pass variance
+    mean = acc[0:3] / acc[6]
+    var = acc[3:6] / acc[6] - mean ** 2
+    np.testing.assert_allclose(var, q.var(axis=0), rtol=1e-9, atol=1e-18)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.floats(1e-6, 1e3))
+def test_eigen33_random_symmetric(seed, scale):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(3, 3)) * scale
+    s = (a + a.T) / 2
+    w, v = np.linalg.eigh(s)
+    lam, vec = smallest_eigenpair_sym(
+        *[jnp.float32(s[i, j]) for i, j in
+          ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))])
+    vec = np.asarray(vec).reshape(3)
+    # eigenvalue within f32 tolerance of the true smallest
+    np.testing.assert_allclose(float(lam), w[0],
+                               rtol=2e-3, atol=2e-3 * scale)
+    gap = (w[1] - w[0]) / max(abs(w).max(), 1e-30)
+    if gap > 1e-3:          # unique smallest eigenvector -> direction match
+        dot = abs(float(vec @ v[:, 0]))
+        assert dot > 0.999, (dot, w)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_scatter_add_lane_order_invariant(seed):
+    """Unique-index scatter accumulates identically under any lane
+    permutation (the contract ops/scatter.py relies on)."""
+    rng = np.random.default_rng(seed)
+    C, U = 512, 128
+    slots = rng.choice(C, U, replace=False).astype(np.int32)
+    valid = rng.random(U) < 0.7
+    vals = rng.normal(size=U).astype(np.float32)
+    arr = jnp.zeros((C + U,), jnp.float32)
+
+    def run(order):
+        return np.asarray(scatter_add(
+            arr, jnp.asarray(slots[order]), jnp.asarray(valid[order]),
+            [jnp.asarray(np.where(valid, vals, 0.0)[order])], C))[:C]
+
+    base = run(np.arange(U))
+    perm = rng.permutation(U)
+    np.testing.assert_array_equal(base, run(perm))
+    want = np.zeros(C, np.float32)
+    for s, ok, v in zip(slots, valid, vals):
+        if ok:
+            want[s] += v
+    np.testing.assert_allclose(base, want, rtol=1e-6)
