@@ -40,6 +40,26 @@ def test_native_oracle_matches_python(sweep):
     np.testing.assert_allclose(a["mean_dist"], b["mean_dist"], atol=1e-7)
 
 
+def test_tsan_clean(tmp_path):
+    """Race detection on the native layer (survey §5.2): concurrent
+    decode/clip/export under ThreadSanitizer must report zero races (the
+    reference's equivalents race, FUSION.cpp:135, 398)."""
+    import shutil
+    import subprocess
+    from hifi_fusion_tpu.runtime import native as rt_native
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    d = rt_native._DIR
+    r = subprocess.run(["make", "-C", d, "tsan_check"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"TSAN build unavailable: {r.stderr[-200:]}")
+    r = subprocess.run([f"{d}/tsan_check", str(tmp_path)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"TSAN reported races:\n{r.stderr[-2000:]}"
+
+
 def test_native_oracle_matches_device(sweep):
     if not oracle_native.available():
         pytest.skip("oracle native lib not built")
