@@ -92,10 +92,18 @@ def main():
     log(str(grid_metrics(grid, cfg)))
 
     if os.environ.get("PROF_TRACE"):
-        with jax.profiler.trace(os.environ["PROF_TRACE"]):
+        from hifi_fusion_tpu.ops.extract import extract
+        base = os.environ["PROF_TRACE"]
+        with jax.profiler.trace(os.path.join(base, "integrate")):
             g2 = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
                                  config=cfg)
             fetch(g2)
+        with jax.profiler.trace(os.path.join(base, "refine")):
+            g2 = refine_pass(g2, config=cfg)
+            fetch(g2)
+        with jax.profiler.trace(os.path.join(base, "extract")):
+            r = extract(g2, config=cfg)
+            np.asarray(r.n_valid)
 
 
 if __name__ == "__main__":
