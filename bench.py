@@ -147,17 +147,17 @@ def bench_config(frames=None):
         resolution=(0.001, 0.001, 0.001),      # 1 mm pitch
         capacity_log2=22,
         max_points=POINTS,
-        buffer_capacity_log2=23,
+        buffer_capacity_log2=21,     # reclamation keeps ~1 refine window
         max_refine_candidates=1 << 18,
         max_dependants=12,
         refine_every=REFINE_EVERY,
         z_clip=(0.28, 0.6),
         # ~90-100k distinct 1mm cells per 640x480 frame
         max_unique_per_frame=1 << 17,
-        max_hits_per_frame=1 << 20,
+        max_stream_pairs=1 << 21,    # Σ dep_cnt over points: ~0.6-1.2M
         max_hit_voxels=1 << 17,
-        max_replay_active=1 << 22,
-        max_replay_hits=1 << 22,
+        max_replay_active=1 << 18,   # distinct buffered-slot runs
+        max_replay_hits=1 << 22,     # first-pass replay pair-points ~2-4M
     ).validate()
 
 

@@ -55,15 +55,28 @@ class FusionConfig:
     capacity_log2: int = 20           # hash table slots C = 2**capacity_log2
     max_probes: int = 64              # linear-probe bound before overflow
     max_points: int = 307200          # N_max per frame (640x480)
+    max_active_points: int = 307200   # NA: static bound on VALID (clip+bbox
+                                      # surviving) points per frame; the
+                                      # sorted frame is compacted to this
+                                      # prefix so every downstream lane
+                                      # space scales with real occupancy.
+                                      # Excess valid points are dropped and
+                                      # counted in overflow_active.
     buffer_capacity_log2: int = 21    # global pre-normal point buffer B
     max_dependants: int = 12          # per-voxel dependant fan-in bound D
     max_refine_candidates: int = 65536  # voxels refined per pass (U_max)
     # sort-compaction bounds (see ops/scatter.py for why these exist):
     max_unique_per_frame: int = 1 << 17  # distinct cells hit per frame
-    max_hits_per_frame: int = 1 << 20    # cylinder hits streamed per frame
+    max_stream_pairs: int = 1 << 22      # ACTIVE (point x dependant) pair
+                                         # lanes streamed per frame (post-
+                                         # sort prefix; Σ over valid points
+                                         # of their cell's dependant count)
     max_hit_voxels: int = 1 << 17        # distinct owners hit per frame
-    max_replay_active: int = 1 << 22     # buffer lanes replayed per refine
-    max_replay_hits: int = 1 << 22       # replay cylinder-hit lanes kept
+    max_replay_active: int = 1 << 22     # distinct buffered-slot runs a
+                                         # refine pass can replay (RB)
+    max_replay_hits: int = 1 << 22       # replay pair-point lanes (R2):
+                                         # Σ over new dependant links of
+                                         # the link slot's buffered points
 
     # ---- behavior ----
     use_pallas: bool = True           # fused Pallas frontend kernel on TPU
@@ -146,8 +159,7 @@ class FusionConfig:
                    self.n_line * self.max_refine_candidates,
                    self.max_unique_per_frame,
                    self.max_hit_voxels,
-                   min(self.max_hits_per_frame,
-                       self.max_dependants * self.max_points),
+                   min(self.max_replay_active, self.buffer_capacity),
                    self.max_replay_hits // 4)
 
     @property
@@ -192,7 +204,7 @@ def small_test_config(**overrides) -> FusionConfig:
         # generous compaction bounds: tests must never truncate, so that
         # oracle parity stays exact
         max_unique_per_frame=4096,
-        max_hits_per_frame=1 << 16,
+        max_stream_pairs=1 << 16,
         max_hit_voxels=1 << 14,
         max_replay_active=1 << 15,     # == buffer capacity: full coverage
         max_replay_hits=1 << 17,

@@ -18,11 +18,24 @@ of point order — the property that makes the reference's "parallelize
 addPoints" TODO (its commented-out OMP criticals, OccupancyGrid.hpp:207-244)
 actually achievable.
 
-EXECUTION SHAPE (TPU-measured; see ops/scatter.py): the frame is sorted by
-cell id once; every downstream grid update is a segment reduction followed
-by one sorted-unique scatter.  Dependant-stream cylinder hits are compacted
-by a second sort over (point x dependant) lanes.  The only non-gather/sort
-heavy ops that remain are O(#unique-cells) scatters — ~milliseconds.
+EXECUTION SHAPE (TPU v5e-measured, 2026-08-17 trace): on this hardware
+sorts and scans stream at ~1-1.5 ns/element while random gathers from
+HBM-resident tables are latency-bound at ~14-26 ns/element, and integer
+division by a non-power-of-2 costs ~23 ns/lane.  The kernel is therefore
+organized to touch memory only through sorts, scans and unique-index
+scatters:
+
+1. ONE payload-carrying sort groups the frame by cell id (coords/rgb ride
+   as sort operands — no post-argsort gathers),
+2. valid lanes are compacted to a static ``max_active_points`` prefix so
+   every downstream lane space scales with real occupancy, not N_max,
+3. the dependant stream expands to (active-point x dependant) pair lanes,
+   sorts them by OWNER, fetches each owner's center/normal once per run
+   START (<= max_hit_voxels random gathers) and segment-fills them across
+   the run — replacing per-lane random gathers,
+4. per-owner statistics are segment sums; the single 9-component scatter
+   runs over run-END lanes compacted to ``max_hit_voxels``.
+
 Layout: planar (3, N) points; flat slot-major grid fields (grid.py).
 """
 
@@ -36,7 +49,7 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing, pallas_kernels
-from .scatter import (scatter_add, scatter_set, segment_ends,
+from .scatter import (scatter_add, scatter_set, segment_ends, segment_fill,
                       segment_reduce, segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
@@ -85,20 +98,32 @@ def integrate_frame_impl(grid: GridState,
     D = config.max_dependants
     B = config.buffer_capacity
     N = mask.shape[0]
-    U = min(config.max_unique_per_frame, N)
-    H = min(config.max_hits_per_frame, D * N)
+    NA = min(config.max_active_points, N)
+    U = min(config.max_unique_per_frame, NA)
     f32 = jnp.float32
     i32 = jnp.int32
 
     world, ids, valid = _frontend(points_cam, mask, pose, config, offset)
     viewpoint = pose[:3, 3]
 
-    # ---- sort the frame by cell id (invalid lanes last) -----------------
+    # ---- ONE payload sort groups the frame by cell id (invalid last); ---
+    # coords (and color) ride as sort operands so no post-argsort gathers
+    # are needed, then valid lanes are compacted to the NA-lane prefix.
     skey = jnp.where(valid, ids, _BIG)
-    order = jnp.argsort(skey, stable=True)
-    sid = skey[order]
+    if config.store_color:
+        sid_f, wx, wy, wz, r0, r1, r2 = jax.lax.sort(
+            (skey, world[0], world[1], world[2], rgb[0], rgb[1], rgb[2]),
+            num_keys=1, is_stable=True)
+        rgb_s = jnp.stack([r0[:NA], r1[:NA], r2[:NA]], axis=0)
+    else:
+        sid_f, wx, wy, wz = jax.lax.sort(
+            (skey, world[0], world[1], world[2]), num_keys=1, is_stable=True)
+        rgb_s = jnp.zeros((3, NA), f32)
+    n_act = jnp.sum((sid_f != _BIG).astype(i32))
+    overflow_active = grid.overflow_active + jnp.maximum(n_act - NA, 0)
+    sid = sid_f[:NA]
+    world_s = jnp.stack([wx[:NA], wy[:NA], wz[:NA]], axis=0)
     svalid = sid != _BIG
-    world_s = world[:, order]
     starts = segment_starts(sid, svalid)
     ends = segment_ends(sid, svalid)
     seg = jnp.cumsum(starts.astype(i32)) - 1
@@ -114,24 +139,34 @@ def integrate_frame_impl(grid: GridState,
     key_table, uslot, n_failed = hashing.lookup_or_insert(
         grid.key, uids, uvalid, config.max_probes, C)
 
-    segc = jnp.clip(seg, 0, U - 1)
-    slot_s = uslot[segc]
-    placed_s = svalid & (seg < U) & (slot_s >= 0)
-    slot_s = jnp.where(placed_s, slot_s, -1)
-
     us = jnp.clip(uslot, 0, C - 1)
     uplaced = uvalid & (uslot >= 0)
     uocc0 = uplaced & (grid.vstats[us * 7 + 6] > 0)
     unf0 = uplaced & grid.normal_found[us]
-    nf0_s = unf0[segc] & placed_s
+
+    # broadcast per-unique values to point lanes by scatter-to-run-start +
+    # segment fill (a per-lane gather via ``segc`` is latency-bound at
+    # ~19 ns/elem on v5e; the fill streams at ~1 ns/elem).  ``uorder`` is
+    # a permutation prefix, so the start positions are unique; rows past
+    # the real uniques land on non-start lanes and are never read.
+    def _to_points(vals_u, dtype):
+        return jnp.zeros((NA,), dtype).at[uorder].set(
+            vals_u.astype(dtype), unique_indices=True)
+
+    slot_fill = segment_fill(_to_points(uslot, i32), starts)
+    nf0_fill = segment_fill(_to_points(unf0, jnp.bool_), starts)
+    in_budget = svalid & (seg < U)
+    placed_s = in_budget & (slot_fill >= 0)
+    slot_s = jnp.where(placed_s, slot_fill, -1)
+    nf0_s = nf0_fill & placed_s
 
     # ---- per-unique aggregation: Σrgb + point count ---------------------
     pmask = placed_s.astype(f32)
     if config.store_color:
-        rgb_rows = jnp.where(placed_s[None, :], rgb[:, order], 0.0)
+        rgb_rows = jnp.where(placed_s[None, :], rgb_s, 0.0)
     else:
-        rgb_rows = jnp.zeros((3, N), f32)
-    vals4 = jnp.concatenate([rgb_rows, pmask[None, :]], axis=0)   # (4,N)
+        rgb_rows = jnp.zeros((3, NA), f32)
+    vals4 = jnp.concatenate([rgb_rows, pmask[None, :]], axis=0)   # (4,NA)
     sum4 = segment_sums(vals4, starts)
     eorder = jnp.argsort(~ends, stable=True)[:U]
     esum4 = sum4[:, eorder]          # (4,U) aligned with uids/uslot
@@ -162,22 +197,28 @@ def integrate_frame_impl(grid: GridState,
     # else-branch overwrite, OccupancyGrid.hpp:229,238) + Σrgb + n_pts,
     # fused into ONE set-scatter over the slot-sorted lanes: adds become
     # set(old + delta), the viewpoint keeps its old value unless this is
-    # the voxel's first occupancy.
+    # the voxel's first occupancy.  The read uses a 2-D row index so the 7
+    # components of a slot come from one contiguous 28-byte run.
     gs = jnp.clip(g_slot, 0, C - 1)
-    old7 = [grid.vstats[gs * 7 + r] for r in range(7)]
+    old7_rows = grid.vstats[gs[:, None] * 7
+                            + jnp.arange(7, dtype=i32)[None, :]]   # (U,7)
+    old7 = [old7_rows[:, r] for r in range(7)]
     first = g_valid & ~g_occ0
     cols7 = [jnp.where(first, viewpoint[r], old7[r]) for r in range(3)]
     cols7 += [old7[3 + r] + g_sum4[r] for r in range(4)]
     vstats = scatter_set(grid.vstats, g_slot, g_valid, cols7, C)
 
     # ---- buffer append: one contiguous block write ----------------------
+    # pack wanted lanes to the front with a payload sort (coords + slot
+    # ride along; a bool key sorts False-first, so key = NOT wanted)
     want_s = placed_s & ~nf0_s
     n_want = jnp.sum(want_s.astype(i32))
-    border = jnp.argsort(~want_s, stable=True)
-    wv = world_s[:, border]
-    wslot = jnp.where(jnp.arange(N, dtype=i32) < n_want,
-                      slot_s[border], -1)
-    fits = grid.buf_count + N <= B
+    _, bwx, bwy, bwz, bwslot = jax.lax.sort(
+        (~want_s, world_s[0], world_s[1], world_s[2], slot_s),
+        num_keys=1, is_stable=True)
+    wv = jnp.stack([bwx, bwy, bwz], axis=0)
+    wslot = jnp.where(jnp.arange(NA, dtype=i32) < n_want, bwslot, -1)
+    fits = grid.buf_count + NA <= B
 
     def _append(args):
         bp, bs, bc = args
@@ -192,50 +233,89 @@ def integrate_frame_impl(grid: GridState,
     overflow_buf = grid.overflow_buf + jnp.where(fits, 0, n_want)
 
     # ---- dependant streaming (OccupancyGrid.hpp:244-277) ----------------
-    slot_ss = jnp.clip(slot_s, 0, C - 1)
-    dj = jnp.arange(D, dtype=i32)[:, None]
-    dep_g = grid.dep[slot_ss[None, :] * D + dj]            # (D,N)
-    dep_cnt = grid.dep_count[slot_ss]
-    oactive = placed_s[None, :] & (dj < dep_cnt[None, :]) & (dep_g >= 0)
-    osafe = jnp.clip(dep_g, 0, C - 1)
-    o_center = geometry.center_of_ids(key_table[osafe], config,
-                                      offset)                 # (3,D,N)
-    o_normal = jnp.stack(
-        [grid.normal[osafe * 3 + r] for r in range(3)], axis=0)
-    q = world_s[:, None, :] - o_center
-    _, dist = _axis_distance(q, o_normal)
-    hit = oactive & (dist < config.cylinder_radius)
-    n_hits = jnp.sum(hit.astype(i32))
-    overflow_hits = grid.overflow_hits + jnp.maximum(n_hits - H, 0)
+    # Pair space = (active point, dependant lane), point-major.  Dependant
+    # rows are fetched once per UNIQUE cell as contiguous D-wide rows, then
+    # broadcast to the cell's points through the sorted-segment index
+    # (ascending -> streaming access, not random).
+    UH = min(config.max_hit_voxels, NA * D)
+    dj_row = jnp.arange(D, dtype=i32)[None, :]             # (1,D)
+    udep_rows = grid.dep[us[:, None] * D + dj_row]         # (U,D) row gather
+    udep_cnt = grid.dep_count[us]                          # (U,)
+    # broadcast the D dep slots + count to point lanes with ONE stacked
+    # segment fill (13 channels x NA) instead of (NA,D) row gathers
+    dep_start = jnp.zeros((D + 1, NA), i32).at[:, uorder].set(
+        jnp.concatenate([udep_rows.T, udep_cnt[None, :]], axis=0),
+        unique_indices=True)
+    dep_fill = segment_fill(dep_start, starts)             # (D+1,NA)
+    dep_rows = dep_fill[:D].T                              # (NA,D)
+    dep_cnt_s = dep_fill[D]
+    dvalid = (placed_s[:, None] & (dj_row < dep_cnt_s[:, None])
+              & (dep_rows >= 0))                           # (NA,D)
 
-    # compact hits, grouped by owner slot (flat (D*N,) lane space)
-    hkey = jnp.where(hit, dep_g, _BIG).reshape(-1)
-    horder = jnp.argsort(hkey, stable=True)[:H]
-    howner = hkey[horder]
-    hvalid = howner != _BIG
-    hpt = world_s[:, horder % N]                           # (3,H)
-    hosafe = jnp.clip(howner, 0, C - 1)
-    h_center = geometry.center_of_ids(key_table[hosafe], config, offset)
-    h_normal = jnp.stack(
-        [grid.normal[hosafe * 3 + r] for r in range(3)], axis=0)
-    hq = hpt - h_center
-    hqp, hdist = _axis_distance(hq, h_normal)
-    # Segment flags come from run membership (howner) alone; the distance
-    # re-gate applies only to the accumulated VALUES.  If the recomputed
-    # hdist of a run's first lane ever flipped past the gate (borderline
-    # f32), the run would otherwise lose its start flag and absorb the
-    # previous owner's partial sums.
-    hhit = hvalid & (hdist < config.cylinder_radius)
+    # sort pair lanes by owner slot, point coords riding as payloads; the
+    # sort also compacts ACTIVE pairs into a prefix, so the fill/scan/sum
+    # machinery below runs on the (much smaller) static pair budget
+    pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)   # (NA*D,)
+    P = min(config.max_stream_pairs, NA * D)
+    n_pair = jnp.sum(dvalid.astype(i32))
+    ppx = jnp.broadcast_to(world_s[0][:, None], (NA, D)).reshape(-1)
+    ppy = jnp.broadcast_to(world_s[1][:, None], (NA, D)).reshape(-1)
+    ppz = jnp.broadcast_to(world_s[2][:, None], (NA, D)).reshape(-1)
+    powner, px, py, pz = jax.lax.sort((pairkey, ppx, ppy, ppz),
+                                      num_keys=1, is_stable=True)
+    powner = powner[:P]
+    px, py, pz = px[:P], py[:P], pz[:P]
+    pvalid = powner != _BIG
+    pstarts = segment_starts(powner, pvalid)
+    pends = segment_ends(powner, pvalid)
+
+    # owner center/normal fetched at run STARTS only (<= UH random
+    # gathers), scattered to the start lanes and segment-filled across
+    # each run — never one random gather per pair lane.
+    sorder = jnp.argsort(~pstarts, stable=True)[:UH]
+    so_owner = powner[sorder]
+    oso = jnp.clip(so_owner, 0, C - 1)
+    so_center = geometry.center_of_ids(key_table[oso], config,
+                                       offset)             # (3,UH)
+    so_nrows = grid.normal[oso[:, None] * 3
+                           + jnp.arange(3, dtype=i32)[None, :]]  # (UH,3)
+    n_over = jnp.sum(pstarts.astype(i32)) - UH
+    overflow_hits = (grid.overflow_hits + jnp.maximum(n_over, 0)
+                     + jnp.maximum(n_pair - P, 0))
+
+    def _at_starts(vals):                                  # (UH,) -> (P,)
+        # sorder is a permutation prefix => unique positions; rows past
+        # the real starts land on non-start lanes and are never read
+        return jnp.zeros((P,), vals.dtype).at[sorder].set(
+            vals, unique_indices=True)
+
+    ofill = jnp.stack([_at_starts(so_center[0]), _at_starts(so_center[1]),
+                       _at_starts(so_center[2]), _at_starts(so_nrows[:, 0]),
+                       _at_starts(so_nrows[:, 1]),
+                       _at_starts(so_nrows[:, 2]),
+                       _at_starts(so_owner.astype(f32))], axis=0)   # (7,P)
+    ofill = segment_fill(ofill, pstarts)
+    o_center = ofill[0:3]
+    o_normal = ofill[3:6]
+    # a run whose start overflowed UH carries a stale fill — gate it out
+    # (counted in overflow_hits above)
+    fill_ok = ofill[6] == powner.astype(f32)
+
+    hq = jnp.stack([px, py, pz], axis=0) - o_center
+    hqp, hdist = _axis_distance(hq, o_normal)
+    hhit = pvalid & fill_ok & (hdist < config.cylinder_radius)
     vals9 = jnp.where(hhit[None, :], jnp.concatenate(
         [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None],
-         jnp.ones((1, H), f32)], axis=0), 0.0)
-    hstarts = segment_starts(howner, hvalid)
-    hends = segment_ends(howner, hvalid)
-    hsum9 = segment_sums(vals9, hstarts)
-    # scatter straight from the run-end lanes: owners are unique across
-    # ends, which is all the fast path needs (no compaction)
-    cyl_stats = scatter_add(grid.cyl_stats, howner, hends,
-                            [hsum9[r] for r in range(9)], C)
+         jnp.ones((1, P), f32)], axis=0), 0.0)
+    hsum9 = segment_sums(vals9, pstarts)
+
+    # run-END compaction, then ONE 9-component unique-scatter
+    eorder2 = jnp.argsort(~pends, stable=True)[:UH]
+    e_owner = powner[eorder2]
+    e_ok = pends[eorder2]
+    e9 = hsum9[:, eorder2]                                 # (9,UH)
+    cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
+                            [e9[r] for r in range(9)], C)
 
     return grid._replace(
         key=key_table,
@@ -249,6 +329,7 @@ def integrate_frame_impl(grid: GridState,
         overflow_buf=overflow_buf,
         overflow_unique=overflow_unique,
         overflow_hits=overflow_hits,
+        overflow_active=overflow_active,
         frames=grid.frames + 1,
     )
 

@@ -42,7 +42,7 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing
 from .eigen33 import smallest_eigenpair_sym
-from .scatter import (scatter_add, scatter_set, segment_ends,
+from .scatter import (scatter_add, scatter_set, segment_ends, segment_fill,
                       segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
@@ -65,8 +65,6 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     K = config.line_k
     L = config.n_line            # 2K+1
     B = config.buffer_capacity
-    A = min(config.max_replay_active, B)
-    R = min(config.max_replay_hits, D * A)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -87,19 +85,43 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         center = geometry.cell_center(coords + offset[:, None], config)
 
     # --- neighborhood occupancy (OccupancyGrid.hpp:334-349) --------------
-    # One u32 gather + bit test per neighbor from the cell-id-keyed
-    # occupancy bitmap — restores the reference's O(1) dense-array
-    # occupancy test without hash probing (M*U lanes x probe rounds).
-    offsets = jnp.asarray(_neighbor_offsets(config), i32)         # (3,M)
-    M = offsets.shape[1]
-    ncoords = coords[:, None, :] + offsets[:, :, None]            # (3,M,U)
-    nvalid = geometry.valid_coords(ncoords, config) & cand_ok[None, :]
-    nids = geometry.cell_id(ncoords, config)                      # (M,U)
+    # The (2k+1)^3 window is tested with TWO u32 gathers per (dx,dy)
+    # COLUMN instead of one per neighbor: dense cell ids are z-fastest, so
+    # a column's 2k+1 occupancy bits live in at most two adjacent bitmap
+    # words.  This cuts the latency-bound random-gather count 2.5x
+    # (125 -> 50 per candidate; gathers measured ~9-21 ns/elem on v5e).
+    kk = config.k_neighborhood
+    win = 2 * kk + 1
+    rng = np.arange(-kk, kk + 1)
+    cgx, cgy = np.meshgrid(rng, rng, indexing="ij")
+    col = jnp.asarray(np.stack([cgx.ravel(), cgy.ravel()]), i32)  # (2,Ncol)
+    Ncol = col.shape[1]
+    dxd, dyd, dzd = config.dims
+    u32 = jnp.uint32
+    nx = coords[0][None, :] + col[0][:, None]                     # (Ncol,U)
+    ny = coords[1][None, :] + col[1][:, None]
+    colbase = (nx * dyd + ny) * dzd + coords[2][None, :]          # (Ncol,U)
+    shpos = jnp.maximum(colbase - kk, 0)
     W = config.n_occ_words
-    nwords = grid.occ_bits[jnp.clip(nids >> 5, 0, W - 1)]
-    nocc = (((nwords >> (nids & 31).astype(jnp.uint32)) & 1) != 0) & nvalid
+    w0i = shpos >> 5
+    w0 = grid.occ_bits[jnp.clip(w0i, 0, W - 1)]
+    w1 = grid.occ_bits[jnp.clip(w0i + 1, 0, W - 1)]
+    b0 = (shpos & 31).astype(u32)
+    winbits = (w0 >> b0) | jnp.where(b0 > 0, w1 << (u32(32) - b0), u32(0))
+    dz_off = jnp.arange(-kk, kk + 1, dtype=i32)[:, None, None]    # (win,1,1)
+    bitpos = colbase[None, :, :] + dz_off - shpos[None, :, :]     # (win,Ncol,U)
+    nbit = (((winbits[None, :, :]
+              >> jnp.clip(bitpos, 0, 31).astype(u32)) & 1) != 0) \
+        & (bitpos >= 0)
+    nz = coords[2][None, None, :] + dz_off
+    nvalid = ((nx >= 0) & (nx < dxd) & (ny >= 0) & (ny < dyd))[None, :, :] \
+        & (nz >= 0) & (nz < dzd) & cand_ok[None, None, :]
+    # reorder (dz, (dx,dy), U) -> (dx,dy,dz)-flat to match _neighbor_offsets
+    nocc = jnp.transpose(nbit & nvalid, (1, 0, 2)).reshape(-1, coords.shape[1])
+    M = Ncol * win
     total = jnp.sum(nocc.astype(i32), axis=0)                     # (U,)
     gated = cand_ok & (total >= config.min_neighbors)             # "total>20"
+    offsets = jnp.asarray(_neighbor_offsets(config), i32)         # (3,M)
 
     # --- PCA normal over occupied neighbor centers -----------------------
     # Offset space (meters, relative to the candidate's center): shared
@@ -158,11 +180,14 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # reference registers each visit, so duplicates are kept for parity.
 
     # --- dependant append: sort pairs by line slot, rank within runs -----
+    # (owner slot AND owner candidate index ride as payloads; the index
+    # addresses the freshly computed center/nvec arrays during replay)
     flatL = jnp.where(pair_ok, lslot, _BIG).reshape(-1)           # (L*U,)
     flatO = jnp.broadcast_to(cand_slot[None, :], (L, U)).reshape(-1)
-    order = jnp.argsort(flatL, stable=True)
-    sL = flatL[order]
-    sO = flatO[order]
+    flatU = jnp.broadcast_to(jnp.arange(U, dtype=i32)[None, :],
+                             (L, U)).reshape(-1)
+    sL, sO, sU = jax.lax.sort((flatL, flatO, flatU), num_keys=1,
+                              is_stable=True)
     s_ok = sL != _BIG
     idx = jnp.arange(sL.shape[0], dtype=i32)
     pstarts = segment_starts(sL, s_ok)
@@ -183,39 +208,76 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # per-line-slot added-link counts at segment ends (unique owners)
     pends = segment_ends(sL, s_ok)
     padded = segment_sums(write_ok.astype(f32), pstarts)
-    dep_count_old = grid.dep_count
     dep_count = scatter_add(grid.dep_count, sL, pends,
                             [jnp.round(padded).astype(i32)], C)
 
     # --- retroactive buffer replay (OccupancyGrid.hpp:418-440) -----------
-    # 1. compact buffer lanes whose voxel gained new dependants
-    bslot = grid.buf_slot
-    bsafe = jnp.clip(bslot, 0, C - 1)
-    gained = (bslot >= 0) & (dep_count[bsafe] > dep_count_old[bsafe])
-    aorder = jnp.argsort(~gained, stable=True)[:A]
-    a_slot = bslot[aorder]
-    a_ok = gained[aorder]
-    a_safe = jnp.clip(a_slot, 0, C - 1)
-    a_pts = grid.buf_pts[:, aorder]                               # (3,A)
-    n_gained = jnp.sum(gained.astype(i32))
-    overflow_replay = jnp.maximum(n_gained - A, 0)
+    # Link-driven: every dependant link CREATED THIS PASS (line slot s ->
+    # owner candidate u) replays s's buffered points through u's cylinder.
+    # The buffer is sorted by slot once; each link looks up its slot's
+    # contiguous point run; links are sorted by OWNER and expanded into a
+    # static pair-point lane space where owner data arrives by segment
+    # fill — no per-lane random gathers (gathers measured ~21 ns/elem).
+    RB = min(config.max_replay_active, B)   # buffered-slot runs per pass
+    R2 = config.max_replay_hits             # pair-point replay lanes
+    L2 = sL.shape[0]
 
-    # 2. expand to (D,A) lanes over each lane's NEW dependants
-    dj = jnp.arange(D, dtype=i32)[:, None]
-    r_owner = dep[a_safe[None, :] * D + dj]                       # (D,A)
-    r_new = (a_ok[None, :] & (dj >= dep_count_old[a_safe][None, :])
-             & (dj < dep_count[a_safe][None, :]) & (r_owner >= 0))
-    # 3. compact hit lanes grouped by owner slot
-    rkey = jnp.where(r_new, r_owner, _BIG).reshape(-1)            # (D*A,)
-    rorder = jnp.argsort(rkey, stable=True)[:R]
-    rowner = rkey[rorder]
-    rvalid = rowner != _BIG
-    n_rlanes = jnp.sum(r_new.astype(i32))
-    overflow_replay = overflow_replay + jnp.maximum(n_rlanes - R, 0)
-    r_pt = a_pts[:, rorder % A]                                   # (3,R)
-    rsafe = jnp.clip(rowner, 0, C - 1)
-    r_center = geometry.center_of_ids(key_table[rsafe], config, offset)
-    r_normal = jnp.stack([normal[rsafe * 3 + r] for r in range(3)], 0)
+    bkey = jnp.where(grid.buf_slot >= 0, grid.buf_slot, _BIG)
+    bslot_s, bx, by, bz = jax.lax.sort(
+        (bkey, grid.buf_pts[0], grid.buf_pts[1], grid.buf_pts[2]),
+        num_keys=1, is_stable=True)
+    bvalid = bslot_s != _BIG
+    bstarts = segment_starts(bslot_s, bvalid)
+    bends = segment_ends(bslot_s, bvalid)
+    run_order = jnp.argsort(~bstarts, stable=True)[:RB]   # start positions
+    rend_order = jnp.argsort(~bends, stable=True)[:RB]    # end positions
+    run_slot = bslot_s[run_order]
+    run_ok = bstarts[run_order]
+    run_cnt = jnp.where(run_ok, rend_order - run_order + 1, 0)
+    n_runs = jnp.sum(bstarts.astype(i32))
+    overflow_replay = jnp.maximum(n_runs - RB, 0)
+    zc = jnp.zeros((C + config.scatter_tail,), i32)
+    bufstart_arr = scatter_set(zc, run_slot, run_ok, [run_order], C)
+    bufcnt_arr = scatter_set(zc, run_slot, run_ok, [run_cnt], C)
+
+    # per-link buffer ranges (sL ascending -> streaming access)
+    ls = jnp.clip(sL, 0, C - 1)
+    l_start0 = bufstart_arr[ls]
+    l_cnt0 = jnp.where(write_ok, bufcnt_arr[ls], 0)
+    lkey = jnp.where(write_ok & (l_cnt0 > 0), sO, _BIG)
+    lk, l_start, l_cnt, l_u = jax.lax.sort(
+        (lkey, l_start0, l_cnt0, sU), num_keys=1, is_stable=True)
+    lvalid = lk != _BIG
+    l_cnt = jnp.where(lvalid, l_cnt, 0)
+    lpos = jnp.cumsum(l_cnt)
+    lofs = lpos - l_cnt
+    t_rep = lpos[-1]
+    overflow_replay = overflow_replay + jnp.maximum(t_rep - R2, 0)
+
+    # expand links into pair-point lanes: scatter link records at each
+    # link's first lane (offsets are unique among links with l_cnt > 0),
+    # then segment-fill them across the link's run
+    lok = lvalid & (lofs < R2)
+    zr = jnp.zeros((R2 + L2,), i32)
+    markb = scatter_set(jnp.zeros((R2 + L2,), jnp.bool_), lofs, lok,
+                        [jnp.ones((L2,), jnp.bool_)], R2)[:R2]
+    ch_u = scatter_set(zr, lofs, lok, [l_u], R2)[:R2]
+    ch_start = scatter_set(zr, lofs, lok, [l_start], R2)[:R2]
+    ch_ofs = scatter_set(zr, lofs, lok, [lofs], R2)[:R2]
+    ch_own = scatter_set(zr, lofs, lok, [lk], R2)[:R2]
+    fills = segment_fill(jnp.stack([ch_u, ch_start, ch_ofs, ch_own]),
+                         markb)                                   # (4,R2)
+    lane = jnp.arange(R2, dtype=i32)
+    rvalid = lane < jnp.minimum(t_rep, R2)
+    f_u = jnp.clip(fills[0], 0, U - 1)
+    pidx = jnp.clip(fills[1] + (lane - fills[2]), 0, B - 1)
+    rowner = jnp.where(rvalid, fills[3], _BIG)
+
+    r_pt = jnp.stack([bx[pidx], by[pidx], bz[pidx]], axis=0)      # (3,R2)
+    r_center = jnp.stack([center[0][f_u], center[1][f_u],
+                          center[2][f_u]], axis=0)
+    r_normal = jnp.stack([nvec[0][f_u], nvec[1][f_u],
+                          nvec[2][f_u]], axis=0)
     rq = r_pt - r_center
     t = jnp.sum(rq * r_normal, axis=0, keepdims=True)
     rqp = t * r_normal
@@ -224,11 +286,11 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     rhit = rvalid & (rdist < config.cylinder_radius)
     vals9 = jnp.where(rhit[None, :], jnp.concatenate(
         [rqp, rqp * rqp, rdist[None], (rdist * rdist)[None],
-         jnp.ones((1, R), f32)], axis=0), 0.0)
+         jnp.ones((1, R2), f32)], axis=0), 0.0)
     rstarts = segment_starts(rowner, rvalid)
     rends = segment_ends(rowner, rvalid)
     rsum9 = segment_sums(vals9, rstarts)
-    UH = min(config.max_hit_voxels, R)
+    UH = min(config.max_hit_voxels, R2)
     eorder2 = jnp.argsort(~rends, stable=True)[:UH]
     eo_slot = rowner[eorder2]
     emask2 = rends[eorder2]
@@ -242,17 +304,24 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # them bounds the buffer.  Divergence from the reference's unbounded
     # buffers is ONLY the late-registration replay of frozen lanes (see
     # FusionConfig.reclaim_buffer) — both oracles honor the same flag.
-    buf_pts, buf_slot, buf_count = grid.buf_pts, grid.buf_slot, grid.buf_count
+    # Reuses the slot-sorted buffer (payloads already carried by the sort).
     reclaimed = grid.reclaimed
     if config.reclaim_buffer:
-        bkeep = (buf_slot >= 0) & ~normal_found[
-            jnp.clip(buf_slot, 0, C - 1)]
-        korder = jnp.argsort(~bkeep, stable=True)
-        buf_slot = jnp.where(bkeep[korder], buf_slot[korder], -1)
-        buf_pts = buf_pts[:, korder]
+        bkeep = bvalid & ~normal_found[jnp.clip(bslot_s, 0, C - 1)]
+        _, kx, ky, kz, kslot = jax.lax.sort(
+            (~bkeep, bx, by, bz, jnp.where(bkeep, bslot_s, -1)),
+            num_keys=1, is_stable=True)
+        buf_pts = jnp.stack([kx, ky, kz], axis=0)
         n_keep = jnp.sum(bkeep.astype(i32))
-        reclaimed = reclaimed + (buf_count - n_keep)
+        buf_slot = jnp.where(jnp.arange(B, dtype=i32) < n_keep, kslot, -1)
+        reclaimed = reclaimed + (grid.buf_count - n_keep)
         buf_count = n_keep
+    else:
+        # keep the slot-sorted layout (semantically equivalent: lane order
+        # within a slot is append order, preserved by the stable sort)
+        buf_pts = jnp.stack([bx, by, bz], axis=0)
+        buf_slot = jnp.where(bvalid, bslot_s, -1)
+        buf_count = grid.buf_count
 
     return grid._replace(
         key=key_table,

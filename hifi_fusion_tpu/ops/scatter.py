@@ -56,12 +56,13 @@ def _lane_indices(slots: jax.Array, valid: jax.Array, k: int,
     slots are unique — no ordering or packing requirement.
     """
     U = slots.shape[0]
-    ar = jnp.arange(k * U, dtype=jnp.int32)
-    lane = ar // k
-    s = slots[lane]
-    base = s * k + (ar - lane * k)
-    pad = k * capacity + ar
-    return jnp.where(valid[lane], base, pad)
+    # 2-D construction: no integer division/modulo (div-by-non-pow2 over
+    # k*U lanes measured ~23 ns/elem on TPU v5e — it dominated the scatter)
+    r = jnp.arange(k, dtype=jnp.int32)[None, :]           # (1,k)
+    lane = jnp.arange(U, dtype=jnp.int32)[:, None]        # (U,1)
+    base = slots[:, None] * k + r                         # (U,k)
+    pad = k * capacity + lane * k + r
+    return jnp.where(valid[:, None], base, pad).reshape(-1)
 
 
 def scatter_add(arr: jax.Array, slots: jax.Array, valid: jax.Array,
@@ -116,6 +117,17 @@ def segment_sums(values: jax.Array, starts: jax.Array) -> jax.Array:
     Precision is segment-local (no global-cumsum cancellation).
     """
     return segment_reduce(values, starts, jnp.add)
+
+
+def segment_fill(values: jax.Array, starts: jax.Array) -> jax.Array:
+    """Broadcast each segment's START-lane value across its whole run.
+
+    ``values``: (U,) or (k, U) with the wanted value present at lanes where
+    ``starts`` is True (other lanes may hold anything).  The TPU-measured
+    alternative — a per-lane random gather of the segment's data — costs
+    ~21 ns/element; this scan streams at ~1 ns/element.
+    """
+    return segment_reduce(values, starts, lambda a, b: a)
 
 
 def segment_reduce(values: jax.Array, starts: jax.Array, op) -> jax.Array:
