@@ -290,7 +290,15 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     rstarts = segment_starts(rowner, rvalid)
     rends = segment_ends(rowner, rvalid)
     rsum9 = segment_sums(vals9, rstarts)
-    UH = min(config.max_hit_voxels, R2)
+    # Replay owners are always THIS pass's gated candidates, so the
+    # end-compaction bound is max_refine_candidates — NOT max_hit_voxels
+    # (which bounds per-frame stream owners).  With the smaller bound the
+    # highest-slot owner runs were silently dropped whenever a pass
+    # replayed more owners than the bound (2,812 voxels lost their entire
+    # replay at the 1 mm bench config's first refine).
+    UH = min(U, R2)
+    n_rends = jnp.sum(rends.astype(i32))
+    overflow_replay = overflow_replay + jnp.maximum(n_rends - UH, 0)
     eorder2 = jnp.argsort(~rends, stable=True)[:UH]
     eo_slot = rowner[eorder2]
     emask2 = rends[eorder2]

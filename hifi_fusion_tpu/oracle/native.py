@@ -40,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hf_oracle_create.argtypes = [f64p, f32p, ctypes.c_float,
                                      ctypes.c_float, ctypes.c_float,
                                      ctypes.c_int, ctypes.c_int,
-                                     ctypes.c_int]
+                                     ctypes.c_int, i64p]
     lib.hf_oracle_create.restype = ctypes.c_void_p
     lib.hf_oracle_add_frame.argtypes = [ctypes.c_void_p, f32p, i64, f32p]
     lib.hf_oracle_add_frame.restype = None
@@ -78,11 +78,13 @@ class NativeOracle:
         self.config = config
         bbox = np.asarray(config.bbox, np.float64)
         res = np.asarray(config.resolution, np.float32)
+        dims = np.asarray(config.dims, np.int64)
         self._h = lib.hf_oracle_create(
             bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             _f32p(res), config.z_clip[0], config.z_clip[1],
             config.cylinder_radius, config.k_neighborhood, config.line_k,
-            config.min_neighbors)
+            config.min_neighbors,
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         lib.hf_oracle_set_reclaim(self._h,
                                   1 if config.reclaim_buffer else 0)
 

@@ -140,6 +140,75 @@ struct Oracle {
 
   // closed-form smallest eigenpair of a symmetric 3x3 (Cardano + cross
   // products) — mirrors ops/eigen33.py.
+  // f32 line-by-line port of ops/eigen33.py::smallest_eigenpair_sym —
+  // the oracle must use the SAME precision and formulas as the device:
+  // a double-precision solver perturbs borderline normals by ~1e-7,
+  // which shifts the +-K line walk across cell boundaries on ~1% of
+  // voxels and changes their dependant links (measured 2849/210066
+  // count mismatches at the 1 mm bench config before this port).
+  static void smallest_eigvec_f32(float a00, float a01, float a02, float a11,
+                                  float a12, float a22, float* out) {
+    const float EPS = 1e-20f;
+    float scale = std::max(
+        std::max(std::max(std::fabs(a00), std::fabs(a11)),
+                 std::max(std::fabs(a22), std::fabs(a01))),
+        std::max(std::fabs(a02), std::fabs(a12)));
+    if (scale < EPS) scale = 1.0f;
+    a00 /= scale; a01 /= scale; a02 /= scale;
+    a11 /= scale; a12 /= scale; a22 /= scale;
+
+    float p1 = a01 * a01 + a02 * a02 + a12 * a12;
+    float q = (a00 + a11 + a22) / 3.0f;
+    float b00 = a00 - q, b11 = a11 - q, b22 = a22 - q;
+    float p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0f * p1;
+    float p = std::sqrt(std::max(p2 / 6.0f, 0.0f));
+    float safe_p = (p < EPS) ? 1.0f : p;
+    float detB = (b00 * (b11 * b22 - a12 * a12)
+                  - a01 * (a01 * b22 - a12 * a02)
+                  + a02 * (a01 * a12 - b11 * a02))
+                 / (safe_p * safe_p * safe_p);
+    float r = std::min(1.0f, std::max(-1.0f, detB / 2.0f));
+    float phi = std::acos(r) / 3.0f;
+    float lam = q + 2.0f * p * std::cos(phi + 2.0f * (float)M_PI / 3.0f);
+    if (p < EPS) lam = q;
+
+    float m00 = a00 - lam, m11 = a11 - lam, m22 = a22 - lam;
+    // rows r0=(m00,a01,a02) r1=(a01,m11,a12) r2=(a02,a12,m22)
+    auto cross = [](float ax, float ay, float az, float bx, float by,
+                    float bz, float* c) {
+      c[0] = ay * bz - az * by;
+      c[1] = az * bx - ax * bz;
+      c[2] = ax * by - ay * bx;
+    };
+    float c01[3], c02[3], c12[3];
+    cross(m00, a01, a02, a01, m11, a12, c01);
+    cross(m00, a01, a02, a02, a12, m22, c02);
+    cross(a01, m11, a12, a02, a12, m22, c12);
+    auto sq = [](const float* c) {
+      return c[0] * c[0] + c[1] * c[1] + c[2] * c[2];
+    };
+    float n01 = sq(c01), n02 = sq(c02), n12 = sq(c12);
+    bool best12 = n12 > std::max(n01, n02);
+    bool best02 = (n02 >= n12) && (n02 > n01);
+    const float* v = best12 ? c12 : (best02 ? c02 : c01);
+    float nrm2 = std::max(sq(v), 0.0f);
+    float nrm = std::sqrt(nrm2);
+    bool ok = nrm > 1e-12f;
+    float inv = ok ? 1.0f / ((nrm < 1e-30f) ? 1.0f : nrm) : 0.0f;
+    if (ok) {
+      out[0] = v[0] * inv;
+      out[1] = v[1] * inv;
+      out[2] = v[2] * inv;
+    } else {
+      float d0 = std::fabs(m00), d1 = std::fabs(m11), d2 = std::fabs(m22);
+      bool f0 = (d0 <= d1) && (d0 <= d2);
+      bool f1 = !f0 && (d1 <= d2);
+      out[0] = f0 ? 1.0f : 0.0f;
+      out[1] = f1 ? 1.0f : 0.0f;
+      out[2] = (!f0 && !f1) ? 1.0f : 0.0f;
+    }
+  }
+
   static void smallest_eigvec(const double A[3][3], float* out) {
     double scale = 0;
     for (int i = 0; i < 3; ++i)
@@ -217,22 +286,23 @@ struct Oracle {
               occ.push_back({dx, dy, dz});
           }
       if ((int)occ.size() < min_neighbors) continue;
-      // PCA over occupied neighbor centers in offset space (meters)
-      double mean[3] = {0, 0, 0};
-      for (auto& o : occ)
-        for (int a = 0; a < 3; ++a) mean[a] += o[a] * (double)res[a];
-      for (int a = 0; a < 3; ++a) mean[a] /= occ.size();
-      double cov[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+      // PCA over occupied neighbor centers in offset space, f32
+      // moment-form — the same accumulation the device uses
+      // (ops/refine.py moments matmul + centered subtraction)
+      float mx = 0, my = 0, mz = 0;
+      float sxx = 0, sxy = 0, sxz = 0, syy = 0, syz = 0, szz = 0;
       for (auto& o : occ) {
-        double d[3];
-        for (int a = 0; a < 3; ++a) d[a] = o[a] * (double)res[a] - mean[a];
-        for (int a = 0; a < 3; ++a)
-          for (int b = 0; b < 3; ++b) cov[a][b] += d[a] * d[b];
+        float ox = o[0] * res[0], oy = o[1] * res[1], oz = o[2] * res[2];
+        mx += ox; my += oy; mz += oz;
+        sxx += ox * ox; sxy += ox * oy; sxz += ox * oz;
+        syy += oy * oy; syz += oy * oz; szz += oz * oz;
       }
-      for (int a = 0; a < 3; ++a)
-        for (int b = 0; b < 3; ++b) cov[a][b] /= occ.size();
+      float tot = std::max((float)occ.size(), 1.0f);
+      mx /= tot; my /= tot; mz /= tot;
       float n[3];
-      smallest_eigvec(cov, n);
+      smallest_eigvec_f32(sxx / tot - mx * mx, sxy / tot - mx * my,
+                          sxz / tot - mx * mz, syy / tot - my * my,
+                          syz / tot - my * mz, szz / tot - mz * mz, n);
       float ctr[3];
       center(c, ctr);
       float dir[3] = {v.viewpoint[0] - ctr[0], v.viewpoint[1] - ctr[1],
@@ -314,7 +384,7 @@ extern "C" {
 
 void* hf_oracle_create(const double* bbox, const float* res, float zmin,
                        float zmax, float cylinder_r, int k, int line_k,
-                       int min_neighbors) {
+                       int min_neighbors, const int64_t* dims) {
   Oracle* o = new Oracle();
   std::memcpy(o->bbox, bbox, 6 * sizeof(double));
   std::memcpy(o->res, res, 3 * sizeof(float));
@@ -325,7 +395,10 @@ void* hf_oracle_create(const double* bbox, const float* res, float zmin,
   o->k = k;
   o->line_k = line_k;
   o->min_neighbors = min_neighbors;
-  for (int a = 0; a < 3; ++a) o->dims[a] = o->dim(a);
+  // dims come from FusionConfig (authoritative): recomputing them here
+  // from the f32 resolution truncates differently (0.7/0.001f -> 699)
+  // and shifts every dense cell id against the device pipeline
+  for (int a = 0; a < 3; ++a) o->dims[a] = dims ? dims[a] : o->dim(a);
   return o;
 }
 
