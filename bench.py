@@ -147,17 +147,23 @@ def bench_config(frames=None):
         resolution=(0.001, 0.001, 0.001),      # 1 mm pitch
         capacity_log2=22,
         max_points=POINTS,
-        buffer_capacity_log2=21,     # reclamation keeps ~1 refine window
+        buffer_capacity_log2=22,     # pre-normal peak: refine_every x N
         max_refine_candidates=1 << 18,
         max_dependants=12,
         refine_every=REFINE_EVERY,
         z_clip=(0.28, 0.6),
         # ~90-100k distinct 1mm cells per 640x480 frame
         max_unique_per_frame=1 << 17,
-        max_stream_pairs=1 << 21,    # Σ dep_cnt over points: ~0.6-1.2M
-        max_hit_voxels=1 << 17,
-        max_replay_active=1 << 18,   # distinct buffered-slot runs
-        max_replay_hits=1 << 22,     # first-pass replay pair-points ~2-4M
+        max_stream_pairs=1 << 22,    # Σ dep_cnt over points
+        max_hit_voxels=1 << 18,
+        max_replay_active=1 << 19,   # distinct buffered-slot runs
+        max_replay_hits=1 << 23,     # first-pass replay pair-points
+        # The Pallas frontend's custom-call payload hashes differently in
+        # every process (six distinct persistent-cache keys observed for
+        # identical source), so with it enabled each bench process pays a
+        # ~350-550 s integrate recompile.  The XLA frontend costs only a
+        # few ms/frame more and makes the compile cache actually hit.
+        use_pallas=False,
     ).validate()
 
 
@@ -213,8 +219,15 @@ def run_tpu(cfg, frames):
              np.ascontiguousarray(f.pose)) for f in planar]
     log(f"host staging: {time.monotonic()-t0:.1f}s")
 
+    # steady-state refine passes replay almost nothing (reclamation keeps
+    # the buffer near-empty), so they run with a 16x smaller replay-lane
+    # budget; only the FIRST pass (whole pre-normal history) needs the
+    # full one.  Overflow counters verify the small budget never drops.
+    STEADY_REPLAY = 1 << 19
+
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
+        first = True
         t0 = time.monotonic()
         for i in range(n_frames):
             p, c, m_, t = host[i % len(host)]
@@ -222,8 +235,11 @@ def run_tpu(cfg, frames):
                                    jnp.asarray(m_), jnp.asarray(t),
                                    config=cfg)
             if (i + 1) % REFINE_EVERY == 0:
-                grid = refine_pass(grid, config=cfg)
-        grid = refine_pass(grid, config=cfg)
+                grid = refine_pass(grid, config=cfg, replay_lanes=(
+                    None if first else STEADY_REPLAY))
+                first = False
+        grid = refine_pass(grid, config=cfg,
+                           replay_lanes=None if first else STEADY_REPLAY)
         result = extract(grid, config=cfg)
         n_vox = int(fetch(result.n_valid))
         dt = time.monotonic() - t0

@@ -93,7 +93,8 @@ class GridState(NamedTuple):
     overflow_dep: jax.Array    # ()  i32  dependant links dropped
     overflow_refine: jax.Array  # () i32  refine candidates deferred
     overflow_unique: jax.Array  # () i32  unique-cells-per-frame bound hit
-    overflow_hits: jax.Array    # () i32  hit-owner runs dropped (UH bound)
+    overflow_hits: jax.Array    # () i32  stream pair/owner-run drops
+    overflow_replay: jax.Array  # () i32  replay run/lane/owner drops
     overflow_active: jax.Array  # () i32  valid points dropped (NA bound)
     reclaimed: jax.Array       # ()  i32  buffer lanes freed by reclamation
     frames: jax.Array          # ()  i32  frames integrated since clear
@@ -128,6 +129,7 @@ def make_grid(config: FusionConfig) -> GridState:
         overflow_refine=jnp.zeros((), i32),
         overflow_unique=jnp.zeros((), i32),
         overflow_hits=jnp.zeros((), i32),
+        overflow_replay=jnp.zeros((), i32),
         overflow_active=jnp.zeros((), i32),
         reclaimed=jnp.zeros((), i32),
         frames=jnp.zeros((), i32),
@@ -174,6 +176,7 @@ def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
         "overflow_refine": int(grid.overflow_refine),
         "overflow_unique": int(grid.overflow_unique),
         "overflow_hits": int(grid.overflow_hits),
+        "overflow_replay": int(grid.overflow_replay),
         "overflow_active": int(grid.overflow_active),
         "buffer_lanes_reclaimed": int(grid.reclaimed),
     }

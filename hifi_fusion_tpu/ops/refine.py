@@ -58,7 +58,7 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
 
 
 def refine_pass_impl(grid: GridState, *, config: FusionConfig,
-                     offset=None) -> GridState:
+                     offset=None, replay_lanes=None) -> GridState:
     C = config.capacity
     D = config.max_dependants
     U = config.max_refine_candidates
@@ -191,8 +191,9 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     s_ok = sL != _BIG
     idx = jnp.arange(sL.shape[0], dtype=i32)
     pstarts = segment_starts(sL, s_ok)
-    seg_start_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(pstarts, idx, 0))
+    # running max == segment-fill of the start index (same scan ladder;
+    # lax.associative_scan compiles pathologically on the axon service)
+    seg_start_idx = segment_fill(jnp.where(pstarts, idx, 0), pstarts)
     rank = idx - seg_start_idx
     sL_safe = jnp.clip(sL, 0, C - 1)
     pos = grid.dep_count[sL_safe] + rank
@@ -219,7 +220,12 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # static pair-point lane space where owner data arrives by segment
     # fill — no per-lane random gathers (gathers measured ~21 ns/elem).
     RB = min(config.max_replay_active, B)   # buffered-slot runs per pass
-    R2 = config.max_replay_hits             # pair-point replay lanes
+    # pair-point replay lanes; ``replay_lanes`` overrides per CALL so a
+    # session can run its first refine (which replays the whole pre-normal
+    # history) with the full budget and steady-state passes — whose
+    # replays are near-empty after buffer reclamation — with a 16x
+    # smaller one.  Overflow stays counted either way.
+    R2 = replay_lanes if replay_lanes else config.max_replay_hits
     L2 = sL.shape[0]
 
     bkey = jnp.where(grid.buf_slot >= 0, grid.buf_slot, _BIG)
@@ -261,23 +267,39 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     zr = jnp.zeros((R2 + L2,), i32)
     markb = scatter_set(jnp.zeros((R2 + L2,), jnp.bool_), lofs, lok,
                         [jnp.ones((L2,), jnp.bool_)], R2)[:R2]
-    ch_u = scatter_set(zr, lofs, lok, [l_u], R2)[:R2]
     ch_start = scatter_set(zr, lofs, lok, [l_start], R2)[:R2]
     ch_ofs = scatter_set(zr, lofs, lok, [lofs], R2)[:R2]
     ch_own = scatter_set(zr, lofs, lok, [lk], R2)[:R2]
-    fills = segment_fill(jnp.stack([ch_u, ch_start, ch_ofs, ch_own]),
-                         markb)                                   # (4,R2)
+    fills = segment_fill(jnp.stack([ch_start, ch_ofs, ch_own]),
+                         markb)                                   # (3,R2)
     lane = jnp.arange(R2, dtype=i32)
     rvalid = lane < jnp.minimum(t_rep, R2)
-    f_u = jnp.clip(fills[0], 0, U - 1)
-    pidx = jnp.clip(fills[1] + (lane - fills[2]), 0, B - 1)
-    rowner = jnp.where(rvalid, fills[3], _BIG)
+    pidx = jnp.clip(fills[0] + (lane - fills[1]), 0, B - 1)
+    rowner = jnp.where(rvalid, fills[2], _BIG)
+
+    # owner center/normal: gathered once per OWNER (first link of each
+    # owner run — every valid link has points, so its first lane IS the
+    # owner's first replay lane), scattered there and segment-filled.
+    # A per-lane ``center[:, u]`` gather costs ~30 ns/elem at R2 lanes
+    # (1.2 s/pass measured); this path is ~30 ms.
+    l_first = segment_starts(lk, lvalid)
+    OB = min(U, L2)
+    forder = jnp.argsort(~l_first, stable=True)[:OB]
+    fl_u = jnp.clip(l_u[forder], 0, U - 1)
+    fl_ok = l_first[forder] & (lofs[forder] < R2)
+    fl_ofs = lofs[forder]
+    marko = scatter_set(jnp.zeros((R2 + OB,), jnp.bool_), fl_ofs, fl_ok,
+                        [jnp.ones((OB,), jnp.bool_)], R2)[:R2]
+    zf = jnp.zeros((R2 + OB,), f32)
+    ocols = [center[0][fl_u], center[1][fl_u], center[2][fl_u],
+             nvec[0][fl_u], nvec[1][fl_u], nvec[2][fl_u]]
+    ofill = segment_fill(jnp.stack(
+        [scatter_set(zf, fl_ofs, fl_ok, [c], R2)[:R2] for c in ocols]),
+        marko)                                                    # (6,R2)
 
     r_pt = jnp.stack([bx[pidx], by[pidx], bz[pidx]], axis=0)      # (3,R2)
-    r_center = jnp.stack([center[0][f_u], center[1][f_u],
-                          center[2][f_u]], axis=0)
-    r_normal = jnp.stack([nvec[0][f_u], nvec[1][f_u],
-                          nvec[2][f_u]], axis=0)
+    r_center = ofill[0:3]
+    r_normal = ofill[3:6]
     rq = r_pt - r_center
     t = jnp.sum(rq * r_normal, axis=0, keepdims=True)
     rqp = t * r_normal
@@ -344,9 +366,9 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         reclaimed=reclaimed,
         overflow_dep=overflow_dep,
         overflow_refine=overflow_refine,
-        overflow_hits=grid.overflow_hits + overflow_replay,
+        overflow_replay=grid.overflow_replay + overflow_replay,
     )
 
 
-refine_pass = partial(jax.jit, static_argnames=("config",),
+refine_pass = partial(jax.jit, static_argnames=("config", "replay_lanes"),
                       donate_argnames=("grid",))(refine_pass_impl)

@@ -133,16 +133,33 @@ def segment_fill(values: jax.Array, starts: jax.Array) -> jax.Array:
 def segment_reduce(values: jax.Array, starts: jax.Array, op) -> jax.Array:
     """segment_sums with an arbitrary associative combine ``op`` (e.g.
     jnp.bitwise_or for bitmap accumulation); masked lanes must carry the
-    identity element of ``op``."""
-    if values.ndim == 2:
-        flags = jnp.broadcast_to(starts[None, :], values.shape)
-    else:
-        flags = starts
+    identity element of ``op``.
 
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, op(av, bv)), af | bf)
+    The flag channel stays (U,) and broadcasts inside the combiner — a
+    k-channel scan then carries k+1 arrays, not 2k (broadcasting flags to
+    ``values.shape`` doubled the scan's HLO and peak memory; the bench
+    integrate program has scans with up to 13 value channels)."""
+    # Hand-rolled Hillis-Steele segmented scan.  ``lax.associative_scan``
+    # lowers to a deeply structured graph that the axon TPU service takes
+    # ~28 MINUTES to compile per multi-channel instance (measured
+    # 2026-08-17; several per kernel OOM-killed the compile helper
+    # outright).  The classic shift-combine ladder is the same O(n log n)
+    # work as XLA's lowering but compiles as a flat elementwise graph in
+    # seconds.  Per step s:  v[i] = f[i] ? v[i] : op(v[i-2^s], v[i]);
+    # f[i] |= f[i-2^s]  — flags freeze each segment at its start lane.
+    n = values.shape[-1]
+    flags = starts[None, :] if values.ndim == 2 else starts
+    v, f = values, flags
 
-    out, _ = jax.lax.associative_scan(comb, (values, flags), axis=-1)
-    return out
+    def shift(x, k):
+        pad = jnp.zeros_like(x[..., :k])
+        return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+    k = 1
+    while k < n:
+        vs = shift(v, k)
+        fs = shift(f, k)
+        v = jnp.where(f, v, op(vs, v))
+        f = f | fs
+        k *= 2
+    return v

@@ -83,7 +83,8 @@ _PLANAR_EXTRACT_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 _SCALAR_FIELDS = ("buf_count", "overflow_probe", "overflow_buf",
                   "overflow_dep", "overflow_refine", "overflow_unique",
-                  "overflow_hits", "overflow_active", "reclaimed", "frames")
+                  "overflow_hits", "overflow_replay", "overflow_active",
+                  "reclaimed", "frames")
 
 
 def _unwrap(g: GridState) -> GridState:

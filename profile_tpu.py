@@ -68,17 +68,23 @@ def main():
     log(f"integrate steady: {dt/(n_frames-1)*1000:.1f} ms/frame "
         f"({(n_frames-1)*cfg.max_points/dt/1e6:.1f} Mpts/s)")
 
-    # refine steady state
+    # refine steady state (full replay budget — the first pass)
     t0 = time.monotonic()
     grid = refine_pass(grid, config=cfg)
     fetch(grid)
     log(f"refine steady: {(time.monotonic()-t0)*1000:.1f} ms")
 
-    # second refine (now most normals found; replay smaller)
+    # second refine with the steady-state replay budget (bench.py's
+    # STEADY_REPLAY): most normals found, replay near-empty
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg)
+    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
     fetch(grid)
-    log(f"refine steady #2: {(time.monotonic()-t0)*1000:.1f} ms")
+    log(f"refine steady small-replay (incl compile): "
+        f"{(time.monotonic()-t0)*1000:.1f} ms")
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
+    fetch(grid)
+    log(f"refine steady small-replay #2: {(time.monotonic()-t0)*1000:.1f} ms")
 
     # integrate AFTER normals exist (dependant stream now active)
     t0 = time.monotonic()

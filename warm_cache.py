@@ -58,6 +58,10 @@ def main():
     np.asarray(grid.frames)
     log(f"refine_pass@bench: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
+    np.asarray(grid.frames)
+    log(f"refine_pass@bench small-replay: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
     r = extract(grid, config=cfg)
     np.asarray(r.n_valid)
     log(f"extract@bench: {time.monotonic()-t0:.1f}s")
