@@ -139,27 +139,53 @@ def segment_reduce(values: jax.Array, starts: jax.Array, op) -> jax.Array:
     k-channel scan then carries k+1 arrays, not 2k (broadcasting flags to
     ``values.shape`` doubled the scan's HLO and peak memory; the bench
     integrate program has scans with up to 13 value channels)."""
-    # Hand-rolled Hillis-Steele segmented scan.  ``lax.associative_scan``
+    # Hand-rolled TWO-LEVEL blocked segmented scan.  ``lax.associative_scan``
     # lowers to a deeply structured graph that the axon TPU service takes
     # ~28 MINUTES to compile per multi-channel instance (measured
     # 2026-08-17; several per kernel OOM-killed the compile helper
-    # outright).  The classic shift-combine ladder is the same O(n log n)
-    # work as XLA's lowering but compiles as a flat elementwise graph in
-    # seconds.  Per step s:  v[i] = f[i] ? v[i] : op(v[i-2^s], v[i]);
-    # f[i] |= f[i-2^s]  — flags freeze each segment at its start lane.
-    n = values.shape[-1]
-    flags = starts[None, :] if values.ndim == 2 else starts
-    v, f = values, flags
+    # outright).  A flat Hillis-Steele ladder compiles in seconds but
+    # streams the full array log2(n) (~22) times; blocking at 512 lanes
+    # runs 9 full-width passes + a negligible inter-block ladder + one
+    # combine pass (~2.2x less traffic).  Ladder step semantics:
+    #   v[i] = f[i] ? v[i] : op(v[i-s], v[i]);  f[i] |= f[i-s]
+    # — flags freeze each segment at its start lane.
+    one_d = values.ndim == 1
+    v = values[None, :] if one_d else values
+    k, n = v.shape
+    BS = 512
 
-    def shift(x, k):
-        pad = jnp.zeros_like(x[..., :k])
-        return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+    def shift(x, s):
+        pad = jnp.zeros_like(x[..., :s])
+        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
 
-    k = 1
-    while k < n:
-        vs = shift(v, k)
-        fs = shift(f, k)
-        v = jnp.where(f, v, op(vs, v))
-        f = f | fs
-        k *= 2
-    return v
+    def ladder(vv, ff, width):
+        s = 1
+        while s < width:
+            vs = shift(vv, s)
+            fs = shift(ff, s)
+            vv = jnp.where(ff[None] if vv.ndim > ff.ndim else ff,
+                           vv, op(vs, vv))
+            ff = ff | fs
+            s *= 2
+        return vv, ff
+
+    if n <= 2 * BS:
+        out, _ = ladder(v, starts, n)
+        return out[0] if one_d else out
+
+    nb = -(-n // BS)
+    npad = nb * BS - n
+    f = starts
+    if npad:
+        v = jnp.concatenate([v, jnp.zeros((k, npad), v.dtype)], axis=-1)
+        f = jnp.concatenate([f, jnp.zeros((npad,), f.dtype)], axis=-1)
+    vb = v.reshape(k, nb, BS)
+    fb = f.reshape(nb, BS)
+    vv, ff = ladder(vb, fb, BS)            # intra-block inclusive scan
+    sv = vv[:, :, -1]                      # (k,nb) block summaries
+    sf = ff[:, -1]                         # (nb,)
+    pv, _ = ladder(sv, sf, nb)             # inter-block inclusive scan
+    ev = shift(pv, 1)                      # exclusive block prefixes
+    out = jnp.where(ff[None], vv, op(ev[:, :, None], vv))
+    out = out.reshape(k, nb * BS)[:, :n]
+    return out[0] if one_d else out
