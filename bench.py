@@ -124,14 +124,31 @@ def load_cached():
         STATE.cached = {}
 
 
-def save_measured():
+def save_measured(tpu_notes=None, baseline_notes=None):
+    """Persist measurements WITH their notes refreshed atomically — numbers
+    and the prose describing them must never describe different runs
+    (round-1 advisor finding: stale *_notes next to overwritten numbers)."""
     data = dict(STATE.cached)
     if STATE.tpu_pts_per_s is not None:
         data["tpu_pts_per_s"] = STATE.tpu_pts_per_s
         data["tpu_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        if tpu_notes:
+            data["tpu_notes"] = tpu_notes
     if STATE.base_pts_per_s is not None:
-        data["baseline_pts_per_s"] = STATE.base_pts_per_s
-        data["baseline_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        # keep the best (least-contended) baseline ever measured: the host
+        # has one CPU core, so a contended run understates the denominator
+        # and overstates the speedup (round-1 advisor finding)
+        prev = data.get("baseline_pts_per_s")
+        if prev is None or STATE.base_pts_per_s > prev:
+            data["baseline_pts_per_s"] = STATE.base_pts_per_s
+            data["baseline_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            if baseline_notes:
+                data["baseline_notes"] = baseline_notes
+        else:
+            log(f"baseline {STATE.base_pts_per_s/1e6:.2f} Mpts/s below "
+                f"cached {prev/1e6:.2f}; keeping cached (uncontended) value")
+            STATE.base_pts_per_s = prev
+    STATE.cached = data
     try:
         with open(MEASURED_PATH, "w") as f:
             json.dump(data, f, indent=1)
@@ -249,6 +266,13 @@ def run_tpu(cfg, frames):
             f"{n_frames/dt:.1f} frames/s  "
             f"{n_frames*POINTS/dt/1e6:.1f} Mpts/s  -> {n_vox} voxels  "
             f"overflows={ovf}")
+        # a nonzero overflow means points were silently dropped — the
+        # throughput would not describe the full workload, so it must
+        # never be recorded as the measured result (advisor, round 1)
+        bad = {k: v for k, v in ovf.items() if v}
+        if bad:
+            raise RuntimeError(f"overflow during {tag}: {bad}; "
+                               f"refusing to record throughput")
         return n_frames * POINTS / dt
 
     # warmup: compiles all three programs (persistent cache makes later
@@ -264,7 +288,12 @@ def run_tpu(cfg, frames):
         log(f"budget nearly gone ({remaining():.0f}s); keeping warmup tput")
         return
     STATE.tpu_pts_per_s = run_once(n, "steady")
-    save_measured()
+    save_measured(tpu_notes=(
+        f"bench.py steady-state on {jax.devices()[0].device_kind} "
+        f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
+        f"refine every {REFINE_EVERY} (steady replay budget {STEADY_REPLAY}),"
+        f" final extract included; zero overflow counters asserted. "
+        f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))
 
 
 def run_baseline(cfg, frames):
@@ -299,7 +328,13 @@ def run_baseline(cfg, frames):
         f"{done/dt:.2f} frames/s  {pts_per_s/1e6:.2f} Mpts/s"
         + ("" if done == len(frames) else "  (extrapolated)"))
     STATE.base_pts_per_s = pts_per_s
-    save_measured()
+    save_measured(baseline_notes=(
+        f"C++ oracle (oracle_native.cpp), single-threaded, {done} frames x "
+        f"{POINTS} pts at 1 mm bench config, refine every {REFINE_EVERY}, "
+        f"buffer reclamation on: {pts_per_s/1e6:.2f} Mpts/s. Early frames "
+        f"are the oracle's fastest (grid fills), so partial-sweep averages "
+        f"are GENEROUS denominators. save_measured keeps the historical "
+        f"max (the one-core host makes contended runs understate it)."))
 
 
 # ----------------------------------------------------------------------

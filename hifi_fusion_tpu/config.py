@@ -183,6 +183,14 @@ class FusionConfig:
                 f"grid has {self.n_cells} cells; dense int32 cell ids require "
                 f"< 2^31. Shrink the bbox or coarsen the resolution (or shard "
                 f"the grid over a mesh, see hifi_fusion_tpu.parallel).")
+        if self.capacity_log2 > 24:
+            # ops/integrate.py round-trips owner slot ids through f32 in the
+            # segment-fill gate (exact only to 2^24); a bigger table would
+            # let stale fills pass silently (advisor, round 1)
+            raise ValueError(
+                f"capacity_log2={self.capacity_log2} > 24: slot ids must "
+                f"stay f32-exact (ops/integrate.py fill gate). Shard the "
+                f"grid instead (hifi_fusion_tpu.parallel).")
         if self.bbox[0] >= self.bbox[1] or self.bbox[2] >= self.bbox[3] \
                 or self.bbox[4] >= self.bbox[5]:
             raise ValueError(f"degenerate bbox {self.bbox}")

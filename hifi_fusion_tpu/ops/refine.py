@@ -225,7 +225,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # history) with the full budget and steady-state passes — whose
     # replays are near-empty after buffer reclamation — with a 16x
     # smaller one.  Overflow stays counted either way.
-    R2 = replay_lanes if replay_lanes else config.max_replay_hits
+    R2 = (replay_lanes if replay_lanes is not None
+          else config.max_replay_hits)
     L2 = sL.shape[0]
 
     bkey = jnp.where(grid.buf_slot >= 0, grid.buf_slot, _BIG)

@@ -137,7 +137,9 @@ class _ControlHandler(socketserver.StreamRequestHandler):
             elif cmd == "frame":
                 n = int(msg["n"])
                 pose = np.asarray(msg["pose"], np.float64).reshape(4, 4)
-                blob = self.rfile.read(n * 16)
+                blob = self._read_exact(n * 16)
+                if blob is None:   # peer hung up mid-frame
+                    return
                 from .decode import CloudFrame, PointField
                 frame = CloudFrame(
                     data=blob, point_step=16, width=n,
@@ -151,6 +153,21 @@ class _ControlHandler(socketserver.StreamRequestHandler):
                 return
             else:
                 self._reply({"ok": False, "error": f"unknown cmd {cmd}"})
+
+    def _read_exact(self, n: int) -> Optional[bytes]:
+        """Read exactly ``n`` bytes.  A single ``rfile.read(n)`` may return
+        short on a TCP stream (VERDICT r1 #6: one short read mid-frame
+        desyncs every later line of the protocol); loop to completion and
+        return None on EOF."""
+        chunks = []
+        got = 0
+        while got < n:
+            chunk = self.rfile.read(n - got)
+            if not chunk:
+                return None
+            chunks.append(chunk)
+            got += len(chunk)
+        return b"".join(chunks)
 
     def _reply(self, obj):
         self.wfile.write((json.dumps(obj) + "\n").encode())

@@ -82,6 +82,8 @@ class FusionSession:
         self._frames_integrated = 0
         self._frames_dropped = 0
         self._pose_failures = 0
+        self._points_truncated = 0   # points cut from frames > max_points
+        self._frames_truncated = 0
         self._t_first = None
         self._t_last = None
 
@@ -263,6 +265,15 @@ class FusionSession:
                     xyz, rgb = decode_frame(
                         frame, blue_shift_bug=cfg.bug_compat_blue_shift)
                     n = min(xyz.shape[0], cfg.max_points)
+                    if xyz.shape[0] > n:
+                        # surfaced in metrics() — every other drop path has
+                        # a counter, so this one must too (VERDICT r1 #6)
+                        self._points_truncated += xyz.shape[0] - n
+                        self._frames_truncated += 1
+                        log.warning(
+                            "frame has %d points > max_points=%d; "
+                            "truncating (%d dropped)", xyz.shape[0],
+                            cfg.max_points, xyz.shape[0] - n)
                     # planar (3, N_max) device layout (see ops/geometry.py)
                     pts_p = np.zeros((3, cfg.max_points), np.float32)
                     rgb_p = np.zeros((3, cfg.max_points), np.float32)
@@ -317,6 +328,8 @@ class FusionSession:
             "frames_integrated": self._frames_integrated,
             "frames_dropped_backpressure": self._frames_dropped,
             "pose_failures": self._pose_failures,
+            "frames_truncated": self._frames_truncated,
+            "points_truncated": self._points_truncated,
             "frames_per_s": ((self._frames_integrated - 1) / dt
                              if dt else None),
             "stage_timers": self.timers.report(),

@@ -161,3 +161,19 @@ def test_save_load_state(tmp_path):
         f2, _ = pcd.read_pcd(r2["cloud"])
         np.testing.assert_array_equal(f1["x"], f2["x"])
         np.testing.assert_array_equal(f1["normal_z"], f2["normal_z"])
+
+
+def test_oversized_frame_truncation_is_counted(tmp_path):
+    """A frame larger than max_points is clamped — and the drop is surfaced
+    in metrics like every other drop path (VERDICT r1 #6)."""
+    cfg = small_test_config(refine_every=0, max_points=256)
+    with FusionSession(cfg, output_dir=str(tmp_path)) as sess:
+        sess.start()
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(-0.25, 0.25, (1000, 3)).astype(np.float32)
+        sess.push_frame(make_cloud_frame(xyz), np.eye(4))
+        sess.drain()
+        m = sess.metrics()
+        assert m["frames_integrated"] == 1
+        assert m["frames_truncated"] == 1
+        assert m["points_truncated"] == 1000 - 256
