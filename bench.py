@@ -54,6 +54,12 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
 REFINE_EVERY = 8
 
+# steady-state refine budget variants + extract cap (see run_tpu's
+# refine_policy; warm_cache.py warms exactly these variants)
+STEADY_BUDGETS = dict(cand_lanes=1 << 15, buf_lanes=1 << 19,
+                      replay_runs=1 << 17, replay_lanes=1 << 19)
+EXTRACT_CAP = 1 << 20
+
 _T0 = time.monotonic()
 
 
@@ -206,7 +212,7 @@ def run_tpu(cfg, frames):
     """
     import jax
     import jax.numpy as jnp
-    from hifi_fusion_tpu.grid import make_grid, grid_metrics
+    from hifi_fusion_tpu.grid import make_grid, grid_metrics, quick_counts
     from hifi_fusion_tpu.ops.integrate import integrate_frame
     from hifi_fusion_tpu.ops.refine import refine_pass
     from hifi_fusion_tpu.ops.extract import extract
@@ -236,11 +242,23 @@ def run_tpu(cfg, frames):
              np.ascontiguousarray(f.pose)) for f in planar]
     log(f"host staging: {time.monotonic()-t0:.1f}s")
 
-    # steady-state refine passes replay almost nothing (reclamation keeps
-    # the buffer near-empty), so they run with a 16x smaller replay-lane
-    # budget; only the FIRST pass (whole pre-normal history) needs the
-    # full one.  Overflow counters verify the small budget never drops.
-    STEADY_REPLAY = 1 << 19
+    # steady-state refine passes see 10-100x fewer live candidates /
+    # buffered points / replay hits than the static worst-case budgets
+    # (PERF.md §4), so after the FIRST pass (whole pre-normal history,
+    # full budgets) they run with live-count-sized budgets validated
+    # against quick_counts before each pass; any pass whose live counts
+    # exceed the steady budgets escalates to the (already-compiled) full
+    # variant.  Overflow counters still verify nothing was dropped.
+    def refine_policy(grid, first):
+        if first:
+            return refine_pass(grid, config=cfg)
+        qc = quick_counts(grid, cfg)
+        fits = (qc["refine_candidates"] <= STEADY_BUDGETS["cand_lanes"]
+                and qc["buffered_points"] <= STEADY_BUDGETS["replay_runs"])
+        if fits:
+            return refine_pass(grid, config=cfg, **STEADY_BUDGETS)
+        log(f"refine escalated to full budgets: {qc}")
+        return refine_pass(grid, config=cfg)
 
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
@@ -252,13 +270,12 @@ def run_tpu(cfg, frames):
                                    jnp.asarray(m_), jnp.asarray(t),
                                    config=cfg)
             if (i + 1) % REFINE_EVERY == 0:
-                grid = refine_pass(grid, config=cfg, replay_lanes=(
-                    None if first else STEADY_REPLAY))
+                grid = refine_policy(grid, first)
                 first = False
-        grid = refine_pass(grid, config=cfg,
-                           replay_lanes=None if first else STEADY_REPLAY)
-        result = extract(grid, config=cfg)
+        grid = refine_policy(grid, first)
+        result = extract(grid, config=cfg, cap=EXTRACT_CAP)
         n_vox = int(fetch(result.n_valid))
+        assert n_vox <= EXTRACT_CAP, f"extract cap exceeded: {n_vox}"
         dt = time.monotonic() - t0
         m = grid_metrics(grid, cfg)
         ovf = {k: v for k, v in m.items() if k.startswith("overflow")}
@@ -291,7 +308,7 @@ def run_tpu(cfg, frames):
     save_measured(tpu_notes=(
         f"bench.py steady-state on {jax.devices()[0].device_kind} "
         f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
-        f"refine every {REFINE_EVERY} (steady replay budget {STEADY_REPLAY}),"
+        f"refine every {REFINE_EVERY} (steady budgets {STEADY_BUDGETS}),"
         f" final extract included; zero overflow counters asserted. "
         f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))
 

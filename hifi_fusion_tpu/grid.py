@@ -69,8 +69,8 @@ class GridState(NamedTuple):
     # neighbor instead of hash probing (the reference walks its dense
     # voxels_ array directly, OccupancyGrid.hpp:334-349 — this restores
     # O(1) occupancy tests on a sparse grid).  Slot-keyed occupancy is
-    # NOT stored separately: a voxel is occupied iff it has received a
-    # point, i.e. vstats n_pts > 0 (see occupied_slots/occupied_at).
+    # derived: a voxel is occupied iff it has received a point, i.e.
+    # n_pts > 0 (see occupied_slots/occupied_at).
     occ_bits: jax.Array     # (W+T,)    u32
     normal_found: jax.Array  # (C+T,)   bool VoxelInfo::normal_found
     normal: jax.Array       # flat 3    f32  unit surface normal
@@ -78,8 +78,14 @@ class GridState(NamedTuple):
     # cylinder hit count as f32 (exact to 2^24), merged here so stats and
     # count land in ONE scatter ---------------------------------------
     cyl_stats: jax.Array    # flat 9    f32  [Σq(3),Σq²(3),Σd,Σd²,hits]
-    # per-voxel viewpoint + color/point telemetry, one scatter ---------
-    vstats: jax.Array       # flat 7    f32  [viewpoint(3),Σrgb(3),n_pts]
+    # per-voxel viewpoint + color telemetry, one scatter ---------------
+    vstats: jax.Array       # flat 6    f32  [viewpoint(3),Σrgb(3)]
+    # raw point count, OWN contiguous array: occupancy (n_pts > 0) is read
+    # as a full-table slice by refine/extract every pass, and a strided
+    # ``vstats[6::7]`` read streamed the whole 176 MB vstats array at
+    # 0.6 GB/s on TPU v5e (316 ms/refine — PERF.md §4); a dedicated array
+    # makes it one contiguous 16 MB read -------------------------------
+    n_pts: jax.Array        # (C+T,)    f32
     # dependant links -------------------------------------------------
     dep: jax.Array          # flat D    i32  owner slots, slot-major, -1
     dep_count: jax.Array    # (C+T,)    i32
@@ -117,7 +123,8 @@ def make_grid(config: FusionConfig) -> GridState:
         normal_found=flat(1, False, jnp.bool_),
         normal=flat(3, 0.0, f32),
         cyl_stats=flat(9, 0.0, f32),
-        vstats=flat(7, 0.0, f32),
+        vstats=flat(6, 0.0, f32),
+        n_pts=flat(1, 0.0, f32),
         dep=flat(D, -1, i32),
         dep_count=flat(1, 0, i32),
         buf_pts=jnp.zeros((3, B), f32),
@@ -140,17 +147,60 @@ def occupied_slots(grid: GridState, capacity: int) -> jax.Array:
     """(C,) bool slot-keyed occupancy: a voxel is occupied iff at least one
     point landed in it (reference semantics: occupied set on first point,
     OccupancyGrid.hpp:227-241; ghosts have data but no points)."""
-    return grid.vstats[6::7][:capacity] > 0
+    return grid.n_pts[:capacity] > 0
 
 
 def occupied_at(grid: GridState, slots: jax.Array) -> jax.Array:
     """Occupancy gather for (possibly clipped) slot indices."""
-    return grid.vstats[slots * 7 + 6] > 0
+    return grid.n_pts[slots] > 0
 
 
 def count_at(grid: GridState, slots: jax.Array) -> jax.Array:
     """Cylinder-hit count (i32) for slot indices."""
     return jnp.round(grid.cyl_stats[slots * 9 + 8]).astype(jnp.int32)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("capacity",))
+def _quick_counts(grid: GridState, capacity: int) -> jax.Array:
+    """One-dispatch device reduction of the counters the budget policy and
+    overflow guards need between refine cadences (grid_metrics costs ~16
+    separate tiny dispatches; this is one).  Returns i32[14]:
+    [occupied, normals_found, refine_candidates, buffered_points, frames,
+     overflow x8 (probe,buf,dep,refine,unique,hits,replay,active),
+     reclaimed]."""
+    C = capacity
+    occ = occupied_slots(grid, C)
+    nf = grid.normal_found[:C]
+    i32 = jnp.int32
+    return jnp.stack([
+        jnp.sum(occ.astype(i32)),
+        jnp.sum(nf.astype(i32)),
+        jnp.sum((occ & ~nf).astype(i32)),
+        grid.buf_count,
+        grid.frames,
+        grid.overflow_probe, grid.overflow_buf, grid.overflow_dep,
+        grid.overflow_refine, grid.overflow_unique, grid.overflow_hits,
+        grid.overflow_replay, grid.overflow_active,
+        grid.reclaimed,
+    ])
+
+
+_QUICK_FIELDS = ("occupied_voxels", "normals_found", "refine_candidates",
+                 "buffered_points", "frames",
+                 "overflow_probe", "overflow_buffer", "overflow_dependants",
+                 "overflow_refine", "overflow_unique", "overflow_hits",
+                 "overflow_replay", "overflow_active",
+                 "buffer_lanes_reclaimed")
+
+
+def quick_counts(grid: GridState, config: FusionConfig) -> dict:
+    """Host dict of the one-dispatch counter reduction (see _quick_counts)."""
+    import numpy as np
+    vals = np.asarray(_quick_counts(grid, config.capacity))
+    return {k: int(v) for k, v in zip(_QUICK_FIELDS, vals)}
 
 
 def grid_metrics(grid: GridState, config: FusionConfig) -> dict:

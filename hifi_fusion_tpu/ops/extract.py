@@ -50,14 +50,24 @@ class ExtractResult(NamedTuple):
 
 
 def extract_impl(grid: GridState, *, config: FusionConfig,
-                 x_range=None, offset=None) -> ExtractResult:
+                 x_range=None, offset=None, cap=None) -> ExtractResult:
     """``x_range=(lo, hi)`` restricts emission to voxels whose x cell index
     lies in [lo, hi) — used by the sharded path so each device emits only
     its core slab (halo copies are suppressed).  ``offset``: shard-local ->
     global coordinate offset; emitted ``cell`` ids stay LOCAL (the sharded
-    host assembly maps them to global int64 ids), centers are global."""
+    host assembly maps them to global int64 ids), centers are global.
+
+    ``cap``: static bound on emitted voxels.  The round-1 extract gathered
+    13 per-channel arrays over ALL ``capacity`` slots — ~1.3 s of
+    latency-bound random gathers at the bench config of which ~95% of
+    lanes were dead (PERF.md §4).  With ``cap`` the gathers run over the
+    compacted ``cap``-lane prefix of the id-sorted slots.  ``n_valid`` is
+    the TRUE emission count regardless of cap; callers must check
+    ``n_valid <= cap`` (``to_host`` raises) and re-run with a bigger
+    variant on truncation — the session sizes cap from quick_counts."""
     from ..grid import occupied_slots
     C = config.capacity
+    E = min(cap, C) if cap else C
     key = grid.key[:C]
     mask = occupied_slots(grid, C) & grid.normal_found[:C]
     if x_range is not None:
@@ -67,15 +77,19 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     n_valid = jnp.sum(mask.astype(jnp.int32))
 
     sort_key = jnp.where(mask, key, _I32_MAX)
-    order = jnp.argsort(sort_key)
-    cell = sort_key[order]
+    # one 2-operand sort yields both the sorted ids and the slot order
+    cell_f, order_f = jax.lax.sort(
+        (sort_key, jnp.arange(C, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)
+    cell = cell_f[:E]
+    order = order_f[:E]
 
     center = geometry.center_of_ids(jnp.maximum(cell, 0), config,
-                                    offset)                # (3,C)
+                                    offset)                # (3,E)
 
     stats = jnp.stack([grid.cyl_stats[order * 9 + r] for r in range(9)], 0)
     cnt = jnp.round(stats[8]).astype(jnp.int32)
-    cnt_f = jnp.maximum(stats[8], 1.0)                     # (C,)
+    cnt_f = jnp.maximum(stats[8], 1.0)                     # (E,)
     mean_q = stats[0:3] / cnt_f
     has = cnt > 0
     centroid = jnp.where(has[None, :], center + mean_q, 0.0)
@@ -83,9 +97,10 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     mean_d = jnp.where(has, stats[6] / cnt_f, 0.0)
     sd_d = jnp.where(has, stats[7] / cnt_f - mean_d * mean_d, 0.0)
 
-    vstats = jnp.stack([grid.vstats[order * 7 + r] for r in range(3, 7)], 0)
-    npts_f = jnp.maximum(vstats[3], 1.0)
-    rgb = vstats[0:3] / npts_f[None, :]
+    rgbs = jnp.stack([grid.vstats[order * 6 + r] for r in range(3, 6)], 0)
+    npts = grid.n_pts[order]
+    npts_f = jnp.maximum(npts, 1.0)
+    rgb = rgbs / npts_f[None, :]
     normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
 
     return ExtractResult(
@@ -98,11 +113,11 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
         sd_dist=sd_d,
         count=cnt,
         rgb=rgb,
-        n_pts=vstats[3].astype(jnp.int32),
+        n_pts=npts.astype(jnp.int32),
     )
 
 
-extract = partial(jax.jit, static_argnames=("config",))(
+extract = partial(jax.jit, static_argnames=("config", "cap"))(
     partial(extract_impl, x_range=None))
 
 # planar (3,C) fields, transposed to host-friendly (n,3) in to_host
@@ -114,6 +129,10 @@ def to_host(result: ExtractResult) -> dict:
     (n,3) vectors for I/O and analysis)."""
     import numpy as np
     n = int(result.n_valid)
+    if n > result.cell.shape[0]:
+        raise RuntimeError(
+            f"extract cap too small: {n} voxels emitted, cap "
+            f"{result.cell.shape[0]} — re-extract with a larger cap")
     out = {}
     for f in ExtractResult._fields:
         if f == "n_valid":

@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .scatter import scatter_set
+from .scatter import scatter_set, segment_reduce
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -76,50 +76,105 @@ def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
 def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
                      max_probes: int, capacity: int
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched find-or-insert via sort elections.
+    """Batched find-or-insert, split into a lookup phase and an insert phase.
 
     ``key_table``: (capacity + tail,) with tail >= len(ids).
     Returns ``(new_key_table, slot, n_failed)``; duplicate ids in one batch
-    resolve to one slot (losers of the election find the winner's write on
-    the next round).
+    resolve to one slot (the final re-lookup redirects every inserted lane
+    to the first slot in probe order holding its id — see the NB in the
+    loop body).
+
+    The round-1 implementation carried the whole key table through a probe
+    ``while_loop`` — XLA copied/sliced the 25 MB table every round (~50 ms
+    per integrate at the bench config, PERF.md §4).  Here:
+
+    * **lookup phase** (most ids already exist in steady state): a
+      ``while_loop`` whose carry is only (slot, unresolved, j); the table
+      is a closure constant read by gathers.  A lane stops at its id or at
+      the first empty slot (id certainly absent).
+    * **insert phase**: absent ids probe with a *claims bitmap* (u32[C/32],
+      the only mutable carry — 512 KB at C=2^22, not 25 MB).  Per round,
+      lanes seeing an empty-and-unclaimed slot stable-sort-elect a winner
+      per candidate (deterministic: input order breaks ties); winners set
+      their claim bit (word-grouped OR + one unique scatter) and resolve;
+      losers and blocked lanes continue to probe j+1 — exactly the probe
+      order of the round-1 algorithm, so the table layouts match.
+    * the table is written ONCE at the end: resolved inserts scatter their
+      ids to their (unique) claimed slots.
     """
     C = capacity
     assert key_table.shape[0] - C >= ids.shape[0], \
         "key table scatter tail smaller than insert batch"
+    U = ids.shape[0]
     mask = jnp.uint32(C - 1)
     h0 = hash_u32(ids)
-    slot0 = jnp.full(ids.shape, -1, jnp.int32)
+    i32 = jnp.int32
+    u32 = jnp.uint32
+
+    # ---- phase 1: lookup (small carry; table closed over) ----------------
+    slot1 = lookup(key_table, ids, active, max_probes, C)
+    need = active & (slot1 < 0)
+
+    # ---- phase 2: claims-bitmap insert over the absent lanes -------------
+    W = max(C // 32, 1)   # >= 1 word so tiny test capacities still index
+    claims0 = jnp.zeros((W,), u32)
+    slotN0 = jnp.full((U,), -1, i32)
 
     def cond(state):
-        _, _, unresolved, j = state
+        _, unresolved, _, j = state
         return jnp.logical_and(jnp.any(unresolved), j < max_probes)
 
     def body(state):
-        table, slot, unresolved, j = state
-        cand = ((h0 + j.astype(jnp.uint32)) & mask).astype(jnp.int32)
-        tk = table[cand]
-        found = unresolved & (tk == ids)
-        empty = unresolved & (tk == -1)
-        # ---- sort election over contending lanes ----
-        ckey = jnp.where(empty, cand, _BIG)
+        # NB on duplicates: duplicates share h0 and probe in lockstep; the
+        # stable election lets exactly one win and the rest claim LATER
+        # slots in the probe chain (they see the claim bit as
+        # occupied-by-other).  The final re-lookup below redirects them all
+        # to the first slot in probe order; the extra claimed slots stay in
+        # the table as unreachable orphans (wasted capacity, never
+        # incorrect — probes treat them as occupied).
+        slotN, unresolved, claims, j = state
+        cand = ((h0 + j.astype(u32)) & mask).astype(i32)
+        tk = key_table[cand]
+        claimed = ((claims[cand >> 5] >> (cand & 31).astype(u32)) & 1) != 0
+        openslot = unresolved & (tk == -1) & ~claimed
+        ckey = jnp.where(openslot, cand, _BIG)
         order = jnp.argsort(ckey, stable=True)
         scand = ckey[order]
         contend = scand != _BIG
         first = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), scand[1:] != scand[:-1]])
-        winner = contend & first
-        # winners have unique candidates — scatter directly, no compaction
-        # (the fast path needs unique indices only, ops/scatter.py)
-        table = scatter_set(table, scand, winner, [ids[order]], C)
-        # ---- all contenders re-read; winners see their id ----
-        tk2 = table[cand]
-        won = empty & (tk2 == ids)
-        newly = found | won
-        slot = jnp.where(newly, cand, slot)
-        unresolved = unresolved & ~newly
-        return table, slot, unresolved, j + 1
+        win_s = contend & first
+        winner = jnp.zeros((U,), jnp.bool_).at[order].set(
+            win_s, unique_indices=True)
+        slotN = jnp.where(winner, cand, slotN)
+        unresolved = unresolved & ~winner
+        # group claim bits by WORD over all contender lanes (scand ascends,
+        # so equal words are contiguous there; loser lanes contribute 0-bits
+        # but keep the runs adjacent), then one unique scatter at word-run
+        # ends — two winners sharing a word must fold into one write
+        word = jnp.where(contend, scand >> 5, _BIG)
+        bit = jnp.where(win_s, u32(1) << (scand & 31).astype(u32), u32(0))
+        prev = jnp.concatenate([jnp.full((1,), _BIG, word.dtype), word[:-1]])
+        nxt = jnp.concatenate([word[1:], jnp.full((1,), _BIG, word.dtype)])
+        starts = contend & (word != prev)
+        ends = contend & (word != nxt)
+        orbits = segment_reduce(bit, starts, jnp.bitwise_or)
+        old = claims[jnp.clip(word, 0, W - 1)]
+        # pad claims with a U-lane scratch tail for masked lanes
+        widx = jnp.where(ends, word, W + jnp.arange(U, dtype=i32))
+        claims = jnp.concatenate([claims, jnp.zeros((U,), u32)]).at[
+            widx].set(jnp.where(ends, old | orbits, u32(0)),
+                      unique_indices=True)[:W]
+        return slotN, unresolved, claims, j + 1
 
-    table, slot, unresolved, _ = jax.lax.while_loop(
-        cond, body, (key_table, slot0, active, jnp.uint32(0)))
-    n_failed = jnp.sum(unresolved.astype(jnp.int32))
+    slotN, unresolvedN, _, _ = jax.lax.while_loop(
+        cond, body, (slotN0, need, claims0, jnp.uint32(0)))
+    n_failed = jnp.sum(unresolvedN.astype(jnp.int32))
+
+    # ---- one table write for all inserts (claimed slots are unique) ------
+    inserted = need & (slotN >= 0)
+    table = scatter_set(key_table, slotN, inserted, [ids], C)
+    # redirect duplicates to the canonical (first-in-probe-order) slot
+    slotR = lookup(table, ids, inserted, max_probes, C)
+    slot = jnp.where(inserted, slotR, slot1)
     return table, slot, n_failed

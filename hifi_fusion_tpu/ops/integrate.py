@@ -141,7 +141,7 @@ def integrate_frame_impl(grid: GridState,
 
     us = jnp.clip(uslot, 0, C - 1)
     uplaced = uvalid & (uslot >= 0)
-    uocc0 = uplaced & (grid.vstats[us * 7 + 6] > 0)
+    uocc0 = uplaced & (grid.n_pts[us] > 0)
     unf0 = uplaced & grid.normal_found[us]
 
     # broadcast per-unique values to point lanes by scatter-to-run-start +
@@ -181,7 +181,7 @@ def integrate_frame_impl(grid: GridState,
     # cell-id-keyed occupancy bitmap (read by the refine gate, grid.py).
     # uids ascend => words ascend; OR-reduce runs of equal words, then one
     # sorted-unique read-modify-write.  (Slot-keyed occupancy is derived
-    # from vstats n_pts > 0 — no separate array or scatter.)
+    # from n_pts > 0 — no separate bool array or scatter.)
     u32 = jnp.uint32
     word = jnp.where(uplaced, uids >> 5, _BIG)
     bitv = jnp.where(uplaced,
@@ -194,19 +194,22 @@ def integrate_frame_impl(grid: GridState,
     occ_bits = scatter_set(grid.occ_bits, word, wen,
                            [old_bits | orscan], W)
     # First-occupancy viewpoint (ghosts re-stamped like the reference's
-    # else-branch overwrite, OccupancyGrid.hpp:229,238) + Σrgb + n_pts,
-    # fused into ONE set-scatter over the slot-sorted lanes: adds become
+    # else-branch overwrite, OccupancyGrid.hpp:229,238) + Σrgb, fused into
+    # ONE set-scatter over the slot-sorted lanes: adds become
     # set(old + delta), the viewpoint keeps its old value unless this is
-    # the voxel's first occupancy.  The read uses a 2-D row index so the 7
-    # components of a slot come from one contiguous 28-byte run.
+    # the voxel's first occupancy.  The read uses a 2-D row index so the 6
+    # components of a slot come from one contiguous 24-byte run.  The raw
+    # point count goes to its own array (occupancy reads are full-table
+    # slices in refine/extract — PERF.md §4 strided-read pathology).
     gs = jnp.clip(g_slot, 0, C - 1)
-    old7_rows = grid.vstats[gs[:, None] * 7
-                            + jnp.arange(7, dtype=i32)[None, :]]   # (U,7)
-    old7 = [old7_rows[:, r] for r in range(7)]
+    old6_rows = grid.vstats[gs[:, None] * 6
+                            + jnp.arange(6, dtype=i32)[None, :]]   # (U,6)
+    old6 = [old6_rows[:, r] for r in range(6)]
     first = g_valid & ~g_occ0
-    cols7 = [jnp.where(first, viewpoint[r], old7[r]) for r in range(3)]
-    cols7 += [old7[3 + r] + g_sum4[r] for r in range(4)]
-    vstats = scatter_set(grid.vstats, g_slot, g_valid, cols7, C)
+    cols6 = [jnp.where(first, viewpoint[r], old6[r]) for r in range(3)]
+    cols6 += [old6[3 + r] + g_sum4[r] for r in range(3)]
+    vstats = scatter_set(grid.vstats, g_slot, g_valid, cols6, C)
+    n_pts = scatter_add(grid.n_pts, g_slot, g_valid, [g_sum4[3]], C)
 
     # ---- buffer append: one contiguous block write ----------------------
     # pack wanted lanes to the front with a payload sort (coords + slot
@@ -322,6 +325,7 @@ def integrate_frame_impl(grid: GridState,
         occ_bits=occ_bits,
         cyl_stats=cyl_stats,
         vstats=vstats,
+        n_pts=n_pts,
         buf_pts=buf_pts,
         buf_slot=buf_slot,
         buf_count=buf_count,

@@ -58,13 +58,32 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
 
 
 def refine_pass_impl(grid: GridState, *, config: FusionConfig,
-                     offset=None, replay_lanes=None) -> GridState:
+                     offset=None, replay_lanes=None, cand_lanes=None,
+                     buf_lanes=None, replay_runs=None) -> GridState:
+    """Budget overrides (all static, smaller-or-equal to the config bounds;
+    ``None`` = the config value) let steady-state passes run on live-count-
+    sized lane spaces instead of worst-case ones — the round-1 trace showed
+    full-budget machinery dominating steady passes where live counts are
+    10-100x below the budgets (PERF.md §4):
+
+    * ``cand_lanes``   — refine candidates per pass (config U); excess
+      candidates are DEFERRED to the next pass (counted overflow_refine).
+    * ``buf_lanes``    — buffer prefix scanned for replay + reclamation;
+      live lanes are always the [0, buf_count) prefix, so any
+      ``buf_lanes >= buf_count`` is exact.  If buf_count exceeds it, the
+      pass skips replay/reclamation entirely and counts overflow_replay
+      (the session policy sizes it from quick_counts so this never fires).
+    * ``replay_runs``  — distinct buffered-slot runs replayable (config RB).
+    * ``replay_lanes`` — replay pair-point lanes (config R2), as before.
+    """
     C = config.capacity
     D = config.max_dependants
-    U = config.max_refine_candidates
+    U = min(cand_lanes if cand_lanes is not None
+            else config.max_refine_candidates, config.max_refine_candidates)
     K = config.line_k
     L = config.n_line            # 2K+1
     B = config.buffer_capacity
+    BL = min(buf_lanes if buf_lanes is not None else B, B)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -147,7 +166,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
     # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = jnp.stack([grid.vstats[cslot * 7 + r] for r in range(3)], 0)
+    vp = jnp.stack([grid.vstats[cslot * 6 + r] for r in range(3)], 0)
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
@@ -219,7 +238,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # contiguous point run; links are sorted by OWNER and expanded into a
     # static pair-point lane space where owner data arrives by segment
     # fill — no per-lane random gathers (gathers measured ~21 ns/elem).
-    RB = min(config.max_replay_active, B)   # buffered-slot runs per pass
+    RB = min(replay_runs if replay_runs is not None
+             else config.max_replay_active, BL)  # buffered-slot runs/pass
     # pair-point replay lanes; ``replay_lanes`` overrides per CALL so a
     # session can run its first refine (which replays the whole pre-normal
     # history) with the full budget and steady-state passes — whose
@@ -229,9 +249,16 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
           else config.max_replay_hits)
     L2 = sL.shape[0]
 
-    bkey = jnp.where(grid.buf_slot >= 0, grid.buf_slot, _BIG)
+    # live buffer lanes are always the [0, buf_count) prefix (integrate
+    # block-appends; reclamation re-packs), so the BL-lane slice covers
+    # everything whenever buf_count <= BL; ``fits`` gates the whole
+    # replay+reclaim block otherwise (counted, never silent).
+    fits = grid.buf_count <= BL
+    bsl = grid.buf_slot[:BL]
+    bkey = jnp.where(fits & (bsl >= 0), bsl, _BIG)
     bslot_s, bx, by, bz = jax.lax.sort(
-        (bkey, grid.buf_pts[0], grid.buf_pts[1], grid.buf_pts[2]),
+        (bkey, grid.buf_pts[0, :BL], grid.buf_pts[1, :BL],
+         grid.buf_pts[2, :BL]),
         num_keys=1, is_stable=True)
     bvalid = bslot_s != _BIG
     bstarts = segment_starts(bslot_s, bvalid)
@@ -241,16 +268,30 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     run_slot = bslot_s[run_order]
     run_ok = bstarts[run_order]
     run_cnt = jnp.where(run_ok, rend_order - run_order + 1, 0)
-    n_runs = jnp.sum(bstarts.astype(i32))
-    overflow_replay = jnp.maximum(n_runs - RB, 0)
     zc = jnp.zeros((C + config.scatter_tail,), i32)
     bufstart_arr = scatter_set(zc, run_slot, run_ok, [run_order], C)
     bufcnt_arr = scatter_set(zc, run_slot, run_ok, [run_cnt], C)
+    # runs beyond the RB budget are DROPPED for this pass's links; count
+    # only drops a created link actually references (advisor, round 1) —
+    # rank>=RB flags each dropped run's start lane, scattered per slot and
+    # gathered at link-run starts below.
+    brank = jnp.cumsum(bstarts.astype(i32)) - 1
+    drop_start = bstarts & (brank >= RB)
+    bufdrop_arr = scatter_set(
+        jnp.zeros((C + config.scatter_tail,), jnp.bool_), bslot_s,
+        drop_start, [jnp.ones((BL,), jnp.bool_)], C)
+    overflow_replay = jnp.where(
+        fits, 0, jnp.maximum(grid.buf_count - BL, 0))
 
     # per-link buffer ranges (sL ascending -> streaming access)
     ls = jnp.clip(sL, 0, C - 1)
     l_start0 = bufstart_arr[ls]
     l_cnt0 = jnp.where(write_ok, bufcnt_arr[ls], 0)
+    # dropped runs referenced by an actually-created link (write_ok is a
+    # per-run prefix — rank 0 writes iff the slot had dep room — so the
+    # run-start lane witnesses "any link created for this slot")
+    overflow_replay = overflow_replay + jnp.sum(
+        (pstarts & write_ok & bufdrop_arr[ls]).astype(i32))
     lkey = jnp.where(write_ok & (l_cnt0 > 0), sO, _BIG)
     lk, l_start, l_cnt, l_u = jax.lax.sort(
         (lkey, l_start0, l_cnt0, sU), num_keys=1, is_stable=True)
@@ -275,7 +316,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                          markb)                                   # (3,R2)
     lane = jnp.arange(R2, dtype=i32)
     rvalid = lane < jnp.minimum(t_rep, R2)
-    pidx = jnp.clip(fills[0] + (lane - fills[1]), 0, B - 1)
+    pidx = jnp.clip(fills[0] + (lane - fills[1]), 0, BL - 1)
     rowner = jnp.where(rvalid, fills[2], _BIG)
 
     # owner center/normal: gathered once per OWNER (first link of each
@@ -336,22 +377,39 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # buffers is ONLY the late-registration replay of frozen lanes (see
     # FusionConfig.reclaim_buffer) — both oracles honor the same flag.
     # Reuses the slot-sorted buffer (payloads already carried by the sort).
+    # All paths operate on the [:BL] slice; the untouched [BL:] tail is
+    # re-attached, and ``fits``=False keeps the original buffer verbatim
+    # (replay contributed nothing in that case — bkey was all-invalid).
     reclaimed = grid.reclaimed
+    tail_pts = grid.buf_pts[:, BL:]
+    tail_slot = grid.buf_slot[BL:]
     if config.reclaim_buffer:
         bkeep = bvalid & ~normal_found[jnp.clip(bslot_s, 0, C - 1)]
         _, kx, ky, kz, kslot = jax.lax.sort(
             (~bkeep, bx, by, bz, jnp.where(bkeep, bslot_s, -1)),
             num_keys=1, is_stable=True)
-        buf_pts = jnp.stack([kx, ky, kz], axis=0)
+        new_pts = jnp.stack([kx, ky, kz], axis=0)
         n_keep = jnp.sum(bkeep.astype(i32))
-        buf_slot = jnp.where(jnp.arange(B, dtype=i32) < n_keep, kslot, -1)
-        reclaimed = reclaimed + (grid.buf_count - n_keep)
-        buf_count = n_keep
+        new_slot = jnp.where(jnp.arange(BL, dtype=i32) < n_keep, kslot, -1)
+        buf_pts = jnp.where(fits,
+                            jnp.concatenate([new_pts, tail_pts], axis=1),
+                            grid.buf_pts)
+        buf_slot = jnp.where(fits,
+                             jnp.concatenate([new_slot, tail_slot]),
+                             grid.buf_slot)
+        reclaimed = reclaimed + jnp.where(fits, grid.buf_count - n_keep, 0)
+        buf_count = jnp.where(fits, n_keep, grid.buf_count)
     else:
         # keep the slot-sorted layout (semantically equivalent: lane order
         # within a slot is append order, preserved by the stable sort)
-        buf_pts = jnp.stack([bx, by, bz], axis=0)
-        buf_slot = jnp.where(bvalid, bslot_s, -1)
+        new_pts = jnp.stack([bx, by, bz], axis=0)
+        new_slot = jnp.where(bvalid, bslot_s, -1)
+        buf_pts = jnp.where(fits,
+                            jnp.concatenate([new_pts, tail_pts], axis=1),
+                            grid.buf_pts)
+        buf_slot = jnp.where(fits,
+                             jnp.concatenate([new_slot, tail_slot]),
+                             grid.buf_slot)
         buf_count = grid.buf_count
 
     return grid._replace(
@@ -371,5 +429,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     )
 
 
-refine_pass = partial(jax.jit, static_argnames=("config", "replay_lanes"),
+refine_pass = partial(jax.jit,
+                      static_argnames=("config", "replay_lanes",
+                                       "cand_lanes", "buf_lanes",
+                                       "replay_runs"),
                       donate_argnames=("grid",))(refine_pass_impl)

@@ -230,7 +230,7 @@ class ShardedFusion:
     def metrics(self, grid) -> dict:
         C = self.config.capacity
         key2 = grid.key.reshape(self.n, -1)[:, :C]
-        occ2 = grid.vstats.reshape(self.n, -1)[:, 6::7][:, :C] > 0
+        occ2 = grid.n_pts.reshape(self.n, -1)[:, :C] > 0
         nf2 = grid.normal_found.reshape(self.n, -1)[:, :C]
         occ = int(jnp.sum(occ2))
         used = int(jnp.sum(key2 != -1))

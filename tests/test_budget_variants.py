@@ -1,0 +1,104 @@
+"""Adaptive-budget variants must be bit-identical to full-budget runs.
+
+Round-2 perf work (PERF.md §4) sizes refine candidate / buffer / replay
+budgets and the extract cap to live counts instead of static worst cases.
+Any sufficiently large budget must produce EXACTLY the state the full
+budget produces — these tests pin that, plus the guarded degradation
+(overflow counters, never silence) when a budget is genuinely too small.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hifi_fusion_tpu.config import small_test_config
+from hifi_fusion_tpu.grid import make_grid, grid_metrics, quick_counts
+from hifi_fusion_tpu.ops.extract import extract, to_host
+from hifi_fusion_tpu.ops.integrate import integrate_frame
+from hifi_fusion_tpu.ops.refine import refine_pass
+from hifi_fusion_tpu.utils.synthetic import make_sweep, pad_frame
+
+CFG = small_test_config()
+
+
+def _fuse(n_frames=4, refine_budgets=None):
+    grid = make_grid(CFG)
+    frames = make_sweep(CFG, n_frames, 2048, seed=3, surface_frac=0.6)
+    kw = refine_budgets or {}
+    for i, fr in enumerate(frames):
+        pf = pad_frame(fr, CFG.max_points)
+        grid = integrate_frame(grid, jnp.asarray(pf.points_cam),
+                               jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
+                               jnp.asarray(pf.pose), config=CFG)
+        if (i + 1) % 2 == 0:
+            grid = refine_pass(grid, config=CFG, **kw)
+    grid = refine_pass(grid, config=CFG, **kw)
+    return grid
+
+
+def _extract_np(grid, cap=None):
+    return to_host(extract(grid, config=CFG, cap=cap))
+
+
+def test_refine_budget_variants_bit_identical():
+    full = _fuse()
+    qc = quick_counts(full, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    # generous-but-smaller budgets (>= live counts at every pass)
+    tight = _fuse(refine_budgets=dict(
+        cand_lanes=2048, buf_lanes=1 << 14, replay_runs=1 << 13,
+        replay_lanes=1 << 15))
+    for k, v in grid_metrics(tight, CFG).items():
+        if k.startswith("overflow"):
+            assert v == 0, (k, v)
+    a, b = _extract_np(full), _extract_np(tight)
+    assert a["cell"].shape == b["cell"].shape
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_extract_cap_prefix_identical():
+    grid = _fuse()
+    full = _extract_np(grid)
+    n = full["cell"].shape[0]
+    assert n > 0
+    capped = _extract_np(grid, cap=1 << 12)
+    assert (1 << 12) >= n
+    for k in full:
+        np.testing.assert_array_equal(full[k], capped[k], err_msg=k)
+
+
+def test_extract_cap_too_small_raises():
+    grid = _fuse()
+    r = extract(grid, config=CFG, cap=8)
+    assert int(r.n_valid) > 8
+    with pytest.raises(RuntimeError, match="extract cap"):
+        to_host(r)
+
+
+def test_small_buf_lanes_guard_counts_not_silent():
+    # buf_lanes far below buf_count: the pass must keep the buffer intact
+    # and count overflow_replay instead of silently dropping/wiping
+    grid0 = make_grid(CFG)
+    frames = make_sweep(CFG, 2, 2048, seed=3, surface_frac=0.6)
+    for fr in frames:
+        pf = pad_frame(fr, CFG.max_points)
+        grid0 = integrate_frame(grid0, jnp.asarray(pf.points_cam),
+                                jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
+                                jnp.asarray(pf.pose), config=CFG)
+    before = int(grid0.buf_count)
+    assert before > 64
+    before_slot = np.asarray(grid0.buf_slot).copy()
+    g = refine_pass(grid0, config=CFG, buf_lanes=64)
+    assert int(g.overflow_replay) >= before - 64
+    assert int(g.buf_count) == before          # buffer untouched
+    np.testing.assert_array_equal(np.asarray(g.buf_slot), before_slot)
+
+
+def test_quick_counts_matches_grid_metrics():
+    grid = _fuse()
+    qc = quick_counts(grid, CFG)
+    m = grid_metrics(grid, CFG)
+    for k, v in qc.items():
+        if k in m:
+            assert m[k] == v, (k, v, m[k])
+    assert qc["refine_candidates"] <= m["occupied_voxels"]

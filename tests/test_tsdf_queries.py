@@ -135,9 +135,8 @@ def test_radius_outlier_removes_isolated_voxel():
     lone = jnp.asarray([int(CFG.dims[2] * CFG.dims[1] * 3 + 7)], jnp.int32)
     key, slot, _ = H.lookup_or_insert(grid.key, lone, jnp.ones(1, bool),
                                       CFG.max_probes, CFG.capacity)
-    # mark occupied: occupancy derives from vstats n_pts > 0
-    grid = grid._replace(
-        key=key, vstats=grid.vstats.at[slot * 7 + 6].set(1.0))
+    # mark occupied: occupancy derives from n_pts > 0
+    grid = grid._replace(key=key, n_pts=grid.n_pts.at[slot].set(1.0))
     keep = radius_outlier_mask(grid, config=CFG, radius_cells=2,
                                min_neighbors=4)
     assert not bool(keep[slot][0])          # isolated voxel rejected

@@ -58,13 +58,18 @@ def main():
     np.asarray(grid.frames)
     log(f"refine_pass@bench: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
+    from bench import STEADY_BUDGETS, EXTRACT_CAP
+    grid = refine_pass(grid, config=cfg, **STEADY_BUDGETS)
     np.asarray(grid.frames)
-    log(f"refine_pass@bench small-replay: {time.monotonic()-t0:.1f}s")
+    log(f"refine_pass@bench steady-budgets: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    r = extract(grid, config=cfg)
+    r = extract(grid, config=cfg, cap=EXTRACT_CAP)
     np.asarray(r.n_valid)
-    log(f"extract@bench: {time.monotonic()-t0:.1f}s")
+    log(f"extract@bench cap={EXTRACT_CAP}: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    from hifi_fusion_tpu.grid import quick_counts
+    quick_counts(grid, cfg)
+    log(f"quick_counts: {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()
     import __graft_entry__
