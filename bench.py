@@ -53,6 +53,12 @@ POINTS = int(os.environ.get("BENCH_POINTS", 640 * 480))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
 REFINE_EVERY = 8
+# K frames per integrate dispatch (ops/integrate.py batched mode): the
+# per-dispatch fixed machinery (hash insert, unique compaction, dep-row
+# gather, full-array scatter copies) runs once per BATCH — the round-2
+# trace showed it dominating the per-frame wall (PERF.md §4-5).  K=1
+# falls back to the per-frame program.
+BATCH = int(os.environ.get("BENCH_BATCH", REFINE_EVERY))
 
 # steady-state refine budget variants + extract cap (see run_tpu's
 # refine_policy; warm_cache.py warms exactly these variants)
@@ -166,6 +172,7 @@ def save_measured(tpu_notes=None, baseline_notes=None):
 def bench_config(frames=None):
     from hifi_fusion_tpu.config import FusionConfig
     return FusionConfig(
+        max_batch_frames=max(BATCH, 1),
         bbox=(-0.35, 0.35, -0.35, 0.35, 0.0, 0.4),
         resolution=(0.001, 0.001, 0.001),      # 1 mm pitch
         capacity_log2=22,
@@ -240,7 +247,14 @@ def run_tpu(cfg, frames):
              np.ascontiguousarray(f.rgb),
              np.ascontiguousarray(f.mask),
              np.ascontiguousarray(f.pose)) for f in planar]
-    log(f"host staging: {time.monotonic()-t0:.1f}s")
+    if BATCH > 1:
+        # K-frame stacks for the batched integrate program; a sweep is
+        # trimmed to whole batches (the measured pts/s covers exactly the
+        # frames integrated)
+        hbat = [tuple(np.stack([host[i + j][k] for j in range(BATCH)])
+                      for k in range(4))
+                for i in range(0, len(host) - BATCH + 1, BATCH)]
+    log(f"host staging: {time.monotonic()-t0:.1f}s (batch={BATCH})")
 
     # steady-state refine passes see 10-100x fewer live candidates /
     # buffered points / replay hits than the static worst-case budgets
@@ -264,14 +278,28 @@ def run_tpu(cfg, frames):
         grid = make_grid(cfg)
         first = True
         t0 = time.monotonic()
-        for i in range(n_frames):
-            p, c, m_, t = host[i % len(host)]
-            grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
-                                   jnp.asarray(m_), jnp.asarray(t),
-                                   config=cfg)
-            if (i + 1) % REFINE_EVERY == 0:
-                grid = refine_policy(grid, first)
-                first = False
+        if BATCH > 1:
+            n_frames = max((n_frames // BATCH) * BATCH, BATCH)
+            done = refines = 0
+            for b in range(n_frames // BATCH):
+                p, c, m_, t = hbat[b % len(hbat)]
+                grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
+                                       jnp.asarray(m_), jnp.asarray(t),
+                                       config=cfg)
+                done += BATCH
+                while done // REFINE_EVERY > refines:
+                    grid = refine_policy(grid, first)
+                    first = False
+                    refines += 1
+        else:
+            for i in range(n_frames):
+                p, c, m_, t = host[i % len(host)]
+                grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
+                                       jnp.asarray(m_), jnp.asarray(t),
+                                       config=cfg)
+                if (i + 1) % REFINE_EVERY == 0:
+                    grid = refine_policy(grid, first)
+                    first = False
         grid = refine_policy(grid, first)
         result = extract(grid, config=cfg, cap=EXTRACT_CAP)
         n_vox = int(fetch(result.n_valid))
@@ -300,7 +328,7 @@ def run_tpu(cfg, frames):
     STATE.tpu_pts_per_s = warm_tput      # floor: includes nothing stale
 
     # steady state on the full sweep, budget permitting
-    n = len(frames)
+    n = (len(frames) // BATCH) * BATCH if BATCH > 1 else len(frames)
     if remaining() < 30:
         log(f"budget nearly gone ({remaining():.0f}s); keeping warmup tput")
         return
@@ -308,6 +336,7 @@ def run_tpu(cfg, frames):
     save_measured(tpu_notes=(
         f"bench.py steady-state on {jax.devices()[0].device_kind} "
         f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
+        f"batch={BATCH} frames/dispatch, "
         f"refine every {REFINE_EVERY} (steady budgets {STEADY_BUDGETS}),"
         f" final extract included; zero overflow counters asserted. "
         f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))

@@ -77,6 +77,10 @@ class FusionConfig:
     max_replay_hits: int = 1 << 22       # replay pair-point lanes (R2):
                                          # Σ over new dependant links of
                                          # the link slot's buffered points
+    max_batch_frames: int = 8            # K-frame batched integrate bound:
+                                         # sizes the scatter scratch tail
+                                         # for K*unique / K*hit lane budgets
+                                         # (ops/integrate.py batched mode)
 
     # ---- behavior ----
     use_pallas: bool = True           # fused Pallas frontend kernel on TPU
@@ -157,8 +161,8 @@ class FusionConfig:
         including the direct per-hit-lane cylinder scatter (H lanes)."""
         return max(self.max_points,
                    self.n_line * self.max_refine_candidates,
-                   self.max_unique_per_frame,
-                   self.max_hit_voxels,
+                   self.max_batch_frames * self.max_unique_per_frame,
+                   self.max_batch_frames * self.max_hit_voxels,
                    min(self.max_replay_active, self.buffer_capacity),
                    self.max_replay_hits // 4)
 

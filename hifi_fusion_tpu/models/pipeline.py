@@ -38,9 +38,12 @@ from ..ops.refine import refine_pass, refine_pass_impl
 
 
 def _step_impl(grid: GridState, points_cam, rgb, mask, pose,
-               config: FusionConfig, offset=None) -> GridState:
+               config: FusionConfig, offset=None, pre_transformed=False,
+               extra_dropped=None) -> GridState:
     grid = integrate_frame_impl(grid, points_cam, rgb, mask, pose,
-                                config=config, offset=offset)
+                                config=config, offset=offset,
+                                pre_transformed=pre_transformed,
+                                extra_dropped=extra_dropped)
     if config.refine_every > 0:
         grid = jax.lax.cond(
             (grid.frames % config.refine_every) == 0,
@@ -99,3 +102,19 @@ class FusionPipeline:
                   ) -> GridState:
         return fusion_sweep(grid, points_cam, rgb, mask, poses,
                             config=self.config)
+
+    # -- host-facing interface shared with the sharded adapter
+    #    (runtime/session.py drives either through these) ---------------
+    def extract_host(self, grid: GridState) -> dict:
+        from ..ops.extract import to_host
+        return to_host(self.extract(grid))
+
+    def grid_metrics(self, grid: GridState) -> dict:
+        from ..grid import grid_metrics
+        return grid_metrics(grid, self.config)
+
+    def put_state(self, state: GridState) -> GridState:
+        """Host checkpoint arrays -> device grid (single-device: trivial)."""
+        import jax.numpy as _jnp
+        return GridState(**{f: _jnp.asarray(getattr(state, f))
+                            for f in GridState._fields})

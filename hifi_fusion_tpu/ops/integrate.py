@@ -55,13 +55,26 @@ from .scatter import (scatter_add, scatter_set, segment_ends, segment_fill,
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-def _frontend(points_cam, mask, pose, config, offset=None):
+def _frontend(points_cam, mask, pose, config, offset=None,
+              pre_transformed=False):
     """Transform + clip + cell id + validity (Pallas on TPU, XLA off-TPU).
 
     ``offset``: shard-local coordinate offset (see geometry.center_of_ids);
     world->coord math stays GLOBAL (bit-identical across shards), only the
     integer coords shift into the shard's local id space.
+
+    ``pre_transformed``: ``points_cam`` is already world-space and already
+    clipped/validated by the routing frontend (parallel/routing.py) — skip
+    the transform and the camera z-clip, keep the local coord-window test
+    (the router targets exactly the windows that pass it).
     """
+    if pre_transformed:
+        world = points_cam
+        coords = geometry.cell_coords(world, config)
+        if offset is not None:
+            coords = coords - offset[:, None]
+        valid = mask & geometry.valid_coords(coords, config)
+        return world, geometry.cell_id(coords, config), valid
     if (config.use_pallas and offset is None
             and pallas_kernels.frontend_available()):
         return pallas_kernels.transform_clip_cellid(
@@ -93,34 +106,108 @@ def integrate_frame_impl(grid: GridState,
                          mask: jax.Array,        # (N,)  bool lane validity
                          pose: jax.Array,        # (4,4) f32 fusion_T_camera
                          *, config: FusionConfig,
-                         offset=None) -> GridState:
+                         offset=None, pre_transformed=False,
+                         extra_dropped=None,
+                         active_lanes=None, unique_lanes=None,
+                         pair_lanes=None, hit_lanes=None) -> GridState:
+    """Single-frame (planar (3,N)) or BATCHED ((K,3,N) + (K,4,4) poses)
+    integration — batching is keyed on input rank so the single-frame HLO
+    is unchanged.
+
+    The batched mode integrates K frames in ONE program: the per-dispatch
+    fixed machinery (hash insert, unique compaction, dep-table row gather,
+    the full-array cyl/vstats/occ scatter passes) runs once per BATCH
+    instead of once per frame — the round-2 trace showed those fixed costs
+    dominating the ~210-380 ms/frame wall (PERF.md §4-5).  Sequential
+    equivalence: nothing integrate reads (normals, dependants,
+    normal_found) changes during integration, sums commute, the stable
+    cell-id sort keeps lanes frame-major so first-occupancy viewpoints
+    resolve to the earliest frame exactly as sequential integration would;
+    integer outputs (occupancy, counts) are bit-identical, f32 sums differ
+    only in addition order.
+
+    ``active_lanes / unique_lanes / pair_lanes / hit_lanes`` (static)
+    override the batch lane budgets; defaults scale the per-frame config
+    budgets by K.  Overflows are counted exactly as in the per-frame path.
+    """
     C = config.capacity
     D = config.max_dependants
     B = config.buffer_capacity
-    N = mask.shape[0]
-    NA = min(config.max_active_points, N)
-    U = min(config.max_unique_per_frame, NA)
     f32 = jnp.float32
     i32 = jnp.int32
+    batched = points_cam.ndim == 3
 
-    world, ids, valid = _frontend(points_cam, mask, pose, config, offset)
-    viewpoint = pose[:3, 3]
+    if batched:
+        K = points_cam.shape[0]
+        N = mask.shape[-1]
+        M = K * N
+        NA = min(active_lanes if active_lanes is not None
+                 else K * config.max_active_points, M)
+        U = min(unique_lanes if unique_lanes is not None
+                else K * config.max_unique_per_frame, NA)
+        UH_req = min(hit_lanes if hit_lanes is not None
+                     else K * config.max_hit_voxels, NA * D)
+        if max(U, UH_req) > config.scatter_tail:
+            raise ValueError(
+                f"batched integrate with K={K} needs scatter-tail "
+                f">= {max(U, UH_req)} slots but config.scatter_tail is "
+                f"{config.scatter_tail}; raise config.max_batch_frames "
+                f"(currently {config.max_batch_frames}) before building "
+                f"the grid, or pass smaller unique_lanes/hit_lanes.")
+        # frontend, vectorized over frames (planar (3,K,N) broadcasting)
+        zmin, zmax = config.z_clip
+        zclip = (points_cam[:, 2] > zmin) & (points_cam[:, 2] < zmax)
+        world_k = jax.vmap(geometry.transform_points)(points_cam, pose)
+        wpl = world_k.transpose(1, 0, 2)              # (3,K,N)
+        coords = geometry.cell_coords(wpl, config)
+        if offset is not None:
+            coords = coords - offset[:, None, None]
+        valid_k = (mask & zclip
+                   & geometry.valid_points(wpl, config)
+                   & geometry.valid_coords(coords, config))
+        ids = geometry.cell_id(coords, config).reshape(M)
+        world = wpl.reshape(3, M)
+        valid = valid_k.reshape(M)
+        rgb = rgb.transpose(1, 0, 2).reshape(3, M)
+        fid = jnp.broadcast_to(jnp.arange(K, dtype=i32)[:, None],
+                               (K, N)).reshape(M)
+        vp_table = pose[:, :3, 3]                     # (K,3)
+    else:
+        N = mask.shape[0]
+        NA = min(config.max_active_points, N)
+        U = min(config.max_unique_per_frame, NA)
+        world, ids, valid = _frontend(points_cam, mask, pose, config,
+                                      offset, pre_transformed)
+        viewpoint = pose[:3, 3]
 
     # ---- ONE payload sort groups the frame by cell id (invalid last); ---
     # coords (and color) ride as sort operands so no post-argsort gathers
     # are needed, then valid lanes are compacted to the NA-lane prefix.
+    # Batched mode also rides the frame id: lanes are frame-major, so the
+    # stable sort leaves each cell-id segment frame-ordered and the fid at
+    # a segment START is the earliest frame touching that cell — exactly
+    # the viewpoint sequential integration would stamp.
     skey = jnp.where(valid, ids, _BIG)
+    operands = [skey, world[0], world[1], world[2]]
     if config.store_color:
-        sid_f, wx, wy, wz, r0, r1, r2 = jax.lax.sort(
-            (skey, world[0], world[1], world[2], rgb[0], rgb[1], rgb[2]),
-            num_keys=1, is_stable=True)
-        rgb_s = jnp.stack([r0[:NA], r1[:NA], r2[:NA]], axis=0)
+        operands += [rgb[0], rgb[1], rgb[2]]
+    if batched:
+        operands.append(fid)
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    sid_f, wx, wy, wz = sorted_ops[:4]
+    if config.store_color:
+        rgb_s = jnp.stack([sorted_ops[4][:NA], sorted_ops[5][:NA],
+                           sorted_ops[6][:NA]], axis=0)
     else:
-        sid_f, wx, wy, wz = jax.lax.sort(
-            (skey, world[0], world[1], world[2]), num_keys=1, is_stable=True)
         rgb_s = jnp.zeros((3, NA), f32)
+    if batched:
+        fid_s = sorted_ops[-1][:NA]
     n_act = jnp.sum((sid_f != _BIG).astype(i32))
     overflow_active = grid.overflow_active + jnp.maximum(n_act - NA, 0)
+    if extra_dropped is not None:
+        # routed ingest (parallel/routing.py): send-bucket drops, already
+        # mesh-summed and gated to one device by the caller
+        overflow_active = overflow_active + extra_dropped
     sid = sid_f[:NA]
     world_s = jnp.stack([wx[:NA], wy[:NA], wz[:NA]], axis=0)
     svalid = sid != _BIG
@@ -206,7 +293,15 @@ def integrate_frame_impl(grid: GridState,
                             + jnp.arange(6, dtype=i32)[None, :]]   # (U,6)
     old6 = [old6_rows[:, r] for r in range(6)]
     first = g_valid & ~g_occ0
-    cols6 = [jnp.where(first, viewpoint[r], old6[r]) for r in range(3)]
+    if batched:
+        # per-unique viewpoint = pose translation of the EARLIEST frame
+        # in the cell's segment (fid at the start lane; tiny (U,) gather
+        # into the (K,3) table)
+        vp_u = vp_table[fid_s[uorder]]                     # (U,3)
+        vp_cols = [vp_u[:, r] for r in range(3)]
+    else:
+        vp_cols = [viewpoint[0], viewpoint[1], viewpoint[2]]
+    cols6 = [jnp.where(first, vp_cols[r], old6[r]) for r in range(3)]
     cols6 += [old6[3 + r] + g_sum4[r] for r in range(3)]
     vstats = scatter_set(grid.vstats, g_slot, g_valid, cols6, C)
     n_pts = scatter_add(grid.n_pts, g_slot, g_valid, [g_sum4[3]], C)
@@ -240,7 +335,9 @@ def integrate_frame_impl(grid: GridState,
     # rows are fetched once per UNIQUE cell as contiguous D-wide rows, then
     # broadcast to the cell's points through the sorted-segment index
     # (ascending -> streaming access, not random).
-    UH = min(config.max_hit_voxels, NA * D)
+    scale = K if batched else 1
+    UH = min(hit_lanes if hit_lanes is not None
+             else scale * config.max_hit_voxels, NA * D)
     dj_row = jnp.arange(D, dtype=i32)[None, :]             # (1,D)
     udep_rows = grid.dep[us[:, None] * D + dj_row]         # (U,D) row gather
     udep_cnt = grid.dep_count[us]                          # (U,)
@@ -259,7 +356,8 @@ def integrate_frame_impl(grid: GridState,
     # sort also compacts ACTIVE pairs into a prefix, so the fill/scan/sum
     # machinery below runs on the (much smaller) static pair budget
     pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)   # (NA*D,)
-    P = min(config.max_stream_pairs, NA * D)
+    P = min(pair_lanes if pair_lanes is not None
+            else scale * config.max_stream_pairs, NA * D)
     n_pair = jnp.sum(dvalid.astype(i32))
     ppx = jnp.broadcast_to(world_s[0][:, None], (NA, D)).reshape(-1)
     ppy = jnp.broadcast_to(world_s[1][:, None], (NA, D)).reshape(-1)
@@ -334,9 +432,12 @@ def integrate_frame_impl(grid: GridState,
         overflow_unique=overflow_unique,
         overflow_hits=overflow_hits,
         overflow_active=overflow_active,
-        frames=grid.frames + 1,
+        frames=grid.frames + (K if batched else 1),
     )
 
 
-integrate_frame = partial(jax.jit, static_argnames=("config",),
+integrate_frame = partial(jax.jit,
+                          static_argnames=("config", "pre_transformed",
+                                           "active_lanes", "unique_lanes",
+                                           "pair_lanes", "hit_lanes"),
                           donate_argnames=("grid",))(integrate_frame_impl)

@@ -239,7 +239,10 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # static pair-point lane space where owner data arrives by segment
     # fill — no per-lane random gathers (gathers measured ~21 ns/elem).
     RB = min(replay_runs if replay_runs is not None
-             else config.max_replay_active, BL)  # buffered-slot runs/pass
+             else config.max_replay_active,
+             config.max_replay_active, BL)   # buffered-slot runs/pass
+    # (<= max_replay_active keeps every RB-lane scatter batch inside the
+    # shared scatter tail, config.scatter_tail)
     # pair-point replay lanes; ``replay_lanes`` overrides per CALL so a
     # session can run its first refine (which replays the whole pre-normal
     # history) with the full budget and steady-state passes — whose
@@ -277,11 +280,20 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # gathered at link-run starts below.
     brank = jnp.cumsum(bstarts.astype(i32)) - 1
     drop_start = bstarts & (brank >= RB)
+    # compact dropped-run start lanes to an RB-lane prefix so the scatter
+    # batch fits the shared scatter tail (BL can exceed it at bench scale);
+    # dropped runs past the compaction window — reachable only when more
+    # than 2*RB distinct runs are buffered — are counted unconditionally
+    # below (conservative overcount, never silent).
+    drop_order = jnp.argsort(~drop_start, stable=True)[:RB]
     bufdrop_arr = scatter_set(
-        jnp.zeros((C + config.scatter_tail,), jnp.bool_), bslot_s,
-        drop_start, [jnp.ones((BL,), jnp.bool_)], C)
-    overflow_replay = jnp.where(
+        jnp.zeros((C + config.scatter_tail,), jnp.bool_),
+        bslot_s[drop_order], drop_start[drop_order],
+        [jnp.ones((RB,), jnp.bool_)], C)
+    n_drop_runs = jnp.sum(drop_start.astype(i32))
+    overflow_replay = (jnp.where(
         fits, 0, jnp.maximum(grid.buf_count - BL, 0))
+        + jnp.maximum(n_drop_runs - RB, 0))
 
     # per-link buffer ranges (sL ascending -> streaming access)
     ls = jnp.clip(sL, 0, C - 1)

@@ -55,7 +55,13 @@ def _build_config(args) -> FusionConfig:
         base["resolution"] = tuple(r) if hasattr(r, "__len__") else (r,) * 3
     if "z_clip" in base:
         base["z_clip"] = tuple(base["z_clip"])
-    return FusionConfig(**base).validate()
+    cfg = FusionConfig(**base)
+    if getattr(args, "devices", 1) > 1:
+        # a multi-device grid may exceed single-chip caps (that is the
+        # point of sharding); validation happens per-shard inside
+        # parallel/sharding.py
+        return cfg
+    return cfg.validate()
 
 
 def cmd_synth(args) -> int:
@@ -84,7 +90,9 @@ def cmd_fuse(args) -> int:
     variants = tuple(v for v in (args.export_variants or "").split(",")
                      if v)
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
-    with ctx, FusionSession(cfg, output_dir=args.output) as sess:
+    with ctx, FusionSession(cfg, output_dir=args.output,
+                            n_devices=args.devices,
+                            route=args.route) as sess:
         sess.run_source(src)
         result = sess.process(variants=variants)
         m = sess.metrics()
@@ -177,7 +185,8 @@ class _ControlHandler(socketserver.StreamRequestHandler):
 def cmd_serve(args) -> int:
     from .session import FusionSession
     cfg = _build_config(args)
-    session = FusionSession(cfg, output_dir=args.output)
+    session = FusionSession(cfg, output_dir=args.output,
+                            n_devices=args.devices, route=args.route)
     with socketserver.ThreadingTCPServer(
             (args.host, args.port), _ControlHandler) as server:
         server.daemon_threads = True
@@ -198,6 +207,14 @@ def main(argv=None) -> int:
 
     def add_cfg(sp):
         sp.add_argument("--config", help="JSON config file")
+        sp.add_argument("--devices", type=int, default=1,
+                        help="shard the grid over this many devices "
+                             "(slab decomposition, parallel/sharding.py); "
+                             "1 = single-chip pipeline")
+        sp.add_argument("--route", action="store_true",
+                        help="with --devices > 1: route points to owner "
+                             "slabs over ICI (throughput scaling) instead "
+                             "of replicating frames (lossless fallback)")
         sp.add_argument("--bbox", type=float, nargs=6,
                         metavar=("XMIN", "XMAX", "YMIN", "YMAX",
                                  "ZMIN", "ZMAX"))

@@ -43,10 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FusionConfig
-from ..grid import GridState, grid_metrics
+from ..grid import GridState
 from ..io import downloads
 from ..models.pipeline import FusionPipeline
-from ..ops.extract import to_host
 from ..utils.profiling import StageTimers, annotate
 from .decode import CloudFrame, decode_frame
 from .sources import Source
@@ -61,10 +60,23 @@ class FusionSession:
                  output_dir: str = ".",
                  queue_depth: int = 100,
                  pose_provider: Optional[PoseProvider] = None,
-                 final_refine: bool = True):
-        self.config = config.validate()
+                 final_refine: bool = True,
+                 n_devices: int = 1,
+                 route: bool = False):
+        """``n_devices > 1`` runs the slab-sharded pipeline over a device
+        mesh (parallel/sharding.py) behind the identical session contract;
+        ``route=True`` additionally routes points to owner slabs over ICI
+        instead of replicating frames.  The global config is then allowed
+        to exceed single-chip caps (it is validated per-shard)."""
+        if n_devices > 1:
+            from ..parallel.sharding import ShardedPipeline
+            self.pipeline = ShardedPipeline(config, n_devices=n_devices,
+                                            route=route)
+            self.config = config             # per-shard validation inside
+        else:
+            self.config = config.validate()
+            self.pipeline = FusionPipeline(config)
         self.output_dir = output_dir
-        self.pipeline = FusionPipeline(config)
         self.pose_provider = pose_provider
         self.final_refine = final_refine
 
@@ -152,7 +164,7 @@ class FusionSession:
                     # refine donated the old buffers; repoint _grid NOW so
                     # a failure below cannot leave it on deleted buffers
                     self._grid = grid
-                host = to_host(self.pipeline.extract(grid))
+                host = self.pipeline.extract_host(grid)
                 if cloud_path.endswith(".ply"):
                     from ..io import ply
                     ply.write_ply(cloud_path, host["centroid"], host["rgb"],
@@ -167,7 +179,7 @@ class FusionSession:
                                                 ascii_mode=ascii_mode)
                 variant_paths = self._write_variants(
                     host, cloud_path, variants, ascii_mode)
-                metrics = grid_metrics(grid, self.config)
+                metrics = self.pipeline.grid_metrics(grid)
                 # snapshot-and-destroy, but leak-free by construction
                 # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
                 self._grid = self.pipeline.init()
@@ -318,7 +330,7 @@ class FusionSession:
     # ------------------------------------------------------------------
     def metrics(self) -> Dict:
         with self._glock:
-            m = grid_metrics(self._grid, self.config)
+            m = self.pipeline.grid_metrics(self._grid)
         dt = ((self._t_last - self._t_first)
               if (self._t_first is not None
                   and self._t_last is not None
@@ -347,10 +359,9 @@ class FusionSession:
 
     def load_state(self, path: str) -> None:
         z = np.load(path)
-        state = GridState(**{f: jnp.asarray(z[f])
-                             for f in GridState._fields})
+        state = GridState(**{f: z[f] for f in GridState._fields})
         with self._glock:
-            self._grid = state
+            self._grid = self.pipeline.put_state(state)
 
     def close(self) -> None:
         self._shutdown = True

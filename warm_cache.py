@@ -53,6 +53,18 @@ def main():
     grid = integrate_frame(grid, pts, rgb, mask, pose, config=cfg)
     np.asarray(grid.frames)
     log(f"integrate_frame@bench: {time.monotonic()-t0:.1f}s")
+    from bench import BATCH
+    if BATCH > 1:
+        t0 = time.monotonic()
+        grid = integrate_frame(
+            grid, jnp.zeros((BATCH, 3, N), jnp.float32),
+            jnp.zeros((BATCH, 3, N), jnp.float32),
+            jnp.zeros((BATCH, N), bool),
+            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (BATCH, 4, 4)),
+            config=cfg)
+        np.asarray(grid.frames)
+        log(f"integrate_frame@bench batched K={BATCH}: "
+            f"{time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     grid = refine_pass(grid, config=cfg)
     np.asarray(grid.frames)
