@@ -55,10 +55,13 @@ BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
 REFINE_EVERY = 8
 # K frames per integrate dispatch (ops/integrate.py batched mode): the
 # per-dispatch fixed machinery (hash insert, unique compaction, dep-row
-# gather, full-array scatter copies) runs once per BATCH — the round-2
-# trace showed it dominating the per-frame wall (PERF.md §4-5).  K=1
-# falls back to the per-frame program.
-BATCH = int(os.environ.get("BENCH_BATCH", REFINE_EVERY))
+# gather, full-array scatter copies) runs once per BATCH.  Measured
+# 2026-08-17 on TPU v5e: K=8 is SLOWER end-to-end (0.586 vs 0.765
+# Mpts/s at K=1) — batching serializes ~42 MB of host->device staging
+# per dispatch against the 37 MB/s tunnel, where the K=1 per-frame
+# transfers fully overlap compute.  Default stays 1; K>1 remains
+# available for hosts with real PCIe bandwidth.
+BATCH = int(os.environ.get("BENCH_BATCH", 1))
 
 # steady-state refine budget variants + extract cap (see run_tpu's
 # refine_policy; warm_cache.py warms exactly these variants)
@@ -241,12 +244,28 @@ def run_tpu(cfg, frames):
     def fetch(x):
         return np.asarray(x)          # device->host fetch = reliable barrier
 
+    # Ingest format: u16-quantized points + u32-packed rgb + a count scalar
+    # (10 B/pt) instead of planar f32 points+rgb+mask (25 B/pt).  The axon
+    # host->device tunnel streams at ~37 MB/s, so the f32 format costs
+    # ~200 ms/frame of transfer — comparable to the whole compute budget.
+    # The device frontend dequantizes bit-reproducibly (utils/synthetic.py
+    # pack_frame_q16); --verify runs the oracle on the identical
+    # dequantized f32 points.  BENCH_PACKED=0 restores the f32 path.
+    PACKED = os.environ.get("BENCH_PACKED", "1") != "0" and BATCH == 1
     t0 = time.monotonic()
-    planar = [pad_frame(f, cfg.max_points) for f in frames]
-    host = [(np.ascontiguousarray(f.points_cam),
-             np.ascontiguousarray(f.rgb),
-             np.ascontiguousarray(f.mask),
-             np.ascontiguousarray(f.pose)) for f in planar]
+    if PACKED:
+        from hifi_fusion_tpu.utils.synthetic import pack_frame_q16
+        pk = [pack_frame_q16(f, cfg.max_points) for f in frames]
+        host = [(f.points_q, f.quant, f.rgb_u32,
+                 np.int32(f.count), f.pose) for f in pk]
+        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
+    else:
+        planar = [pad_frame(f, cfg.max_points) for f in frames]
+        host = [(np.ascontiguousarray(f.points_cam),
+                 np.ascontiguousarray(f.rgb),
+                 np.ascontiguousarray(f.mask),
+                 np.ascontiguousarray(f.pose)) for f in planar]
+        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
     if BATCH > 1:
         # K-frame stacks for the batched integrate program; a sweep is
         # trimmed to whole batches (the measured pts/s covers exactly the
@@ -254,7 +273,9 @@ def run_tpu(cfg, frames):
         hbat = [tuple(np.stack([host[i + j][k] for j in range(BATCH)])
                       for k in range(4))
                 for i in range(0, len(host) - BATCH + 1, BATCH)]
-    log(f"host staging: {time.monotonic()-t0:.1f}s (batch={BATCH})")
+    log(f"host staging: {time.monotonic()-t0:.1f}s (batch={BATCH}, "
+        f"packed={PACKED}, {per_frame_bytes/1e6:.1f} MB/frame)")
+
 
     # steady-state refine passes see 10-100x fewer live candidates /
     # buffered points / replay hits than the static worst-case budgets
@@ -292,11 +313,33 @@ def run_tpu(cfg, frames):
                     first = False
                     refines += 1
         else:
+            # host->device staging runs on its own thread (the transfer
+            # blocks the issuing thread through the tunnel; the GIL is
+            # released during the copy, so a stager thread overlaps it
+            # with dispatch+compute — the reference's 3-thread pipeline
+            # P1, as a 2-deep device-side ring)
+            import queue
+            import threading
+            dq = queue.Queue(maxsize=4)
+
+            def stage():
+                for i in range(n_frames):
+                    hf = host[i % len(host)]
+                    dq.put(tuple(jax.device_put(np.asarray(x))
+                                 for x in hf))
+
+            stager = threading.Thread(target=stage, daemon=True,
+                                      name="bench-stager")
+            stager.start()
             for i in range(n_frames):
-                p, c, m_, t = host[i % len(host)]
-                grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
-                                       jnp.asarray(m_), jnp.asarray(t),
-                                       config=cfg)
+                df = dq.get()
+                if PACKED:
+                    pq, qn, rc, cnt, ps = df
+                    grid = integrate_frame(grid, pq, rc, cnt, ps,
+                                           config=cfg, quant=qn)
+                else:
+                    p, c, m_, t = df
+                    grid = integrate_frame(grid, p, c, m_, t, config=cfg)
                 if (i + 1) % REFINE_EVERY == 0:
                     grid = refine_policy(grid, first)
                     first = False
@@ -400,26 +443,43 @@ def run_verify(n_frames=4):
     from hifi_fusion_tpu.grid import make_grid, grid_metrics
     from hifi_fusion_tpu.models.pipeline import FusionPipeline
     from hifi_fusion_tpu.ops.extract import to_host
+    from hifi_fusion_tpu.ops.integrate import integrate_frame
     from hifi_fusion_tpu.oracle import native as oracle_native
-    from hifi_fusion_tpu.utils.synthetic import pad_frame
+    from hifi_fusion_tpu.utils.synthetic import pack_frame_q16
 
     cfg = bench_config()
     frames = make_frames(cfg, n_frames)
+    # the production ingest format (u16 points + u32 rgb + count): the
+    # device consumes the packed frame, the oracle the IDENTICAL
+    # dequantized f32 points — the parity claim covers the whole wire path
+    pks = [pack_frame_q16(fr, cfg.max_points) for fr in frames]
     if not oracle_native.available():
         from hifi_fusion_tpu.runtime import native as rt_native
         rt_native.build()
     assert oracle_native.available(), "C++ oracle required for --verify"
 
     pipe = FusionPipeline(cfg)
-    grid = pipe.init()
-    for i, fr in enumerate(frames):
-        pf = pad_frame(fr, cfg.max_points)
-        grid = pipe.integrate(grid, jnp.asarray(pf.points_cam),
-                              jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
-                              jnp.asarray(pf.pose))
-        if (i + 1) % 2 == 0:
-            grid = pipe.refine(grid)
-    grid = pipe.refine(grid)
+
+    def fuse_device(perm_seed=None):
+        rng = np.random.default_rng(perm_seed)
+        grid = pipe.init()
+        for i, pk in enumerate(pks):
+            pq, rc = pk.points_q, pk.rgb_u32
+            if perm_seed is not None:
+                p = rng.permutation(pk.count)
+                pq = np.array(pq)
+                rc = np.array(rc)
+                pq[:, :pk.count] = pq[:, p]
+                rc[:pk.count] = rc[p]
+            grid = integrate_frame(grid, jnp.asarray(pq), jnp.asarray(rc),
+                                   jnp.asarray(np.int32(pk.count)),
+                                   jnp.asarray(pk.pose), config=cfg,
+                                   quant=jnp.asarray(pk.quant))
+            if (i + 1) % 2 == 0:
+                grid = pipe.refine(grid)
+        return pipe.refine(grid)
+
+    grid = fuse_device()
     m = grid_metrics(grid, cfg)
     log(f"device metrics: {m}")
     for k, v in m.items():
@@ -427,9 +487,22 @@ def run_verify(n_frames=4):
             assert v == 0, f"device overflow at bench scale: {k}={v}"
     dev = to_host(pipe.extract(grid))
 
+    # ---- device self-consistency under permuted point order (VERDICT r1
+    # next-#7): the sum-form accumulators make integer outputs bit-exact
+    # and f32 stats sum-order-stable; a clean pass here pins the residual
+    # vs the oracle below as purely cross-compiler arithmetic.
+    dev2 = to_host(pipe.extract(fuse_device(perm_seed=0)))
+    np.testing.assert_array_equal(dev["cell"], dev2["cell"])
+    np.testing.assert_array_equal(dev["count"], dev2["count"])
+    np.testing.assert_allclose(dev["centroid"], dev2["centroid"], atol=1e-6)
+    log(f"device self-consistency under permuted point order: exact on "
+        f"{dev['cell'].size} voxels (counts bit-identical)")
+
     cc = oracle_native.NativeOracle(cfg)
-    for i, fr in enumerate(frames):
-        cc.integrate_frame(fr.points_cam, None, fr.pose)
+    for i, pk in enumerate(pks):
+        cc.integrate_frame(
+            np.ascontiguousarray(pk.points_f32[:, :pk.count].T),
+            None, pk.pose)
         if (i + 1) % 2 == 0:
             cc.refine()
     cc.refine()

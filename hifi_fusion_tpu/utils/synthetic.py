@@ -85,6 +85,67 @@ def make_sweep(config: FusionConfig,
     return frames
 
 
+@dataclasses.dataclass
+class PackedFrame:
+    """Wire-format frame: 10 B/point instead of pad_frame's 25 B/point.
+
+    The reference ingests PointCloud2 messages whose rgb field is already
+    a packed u32-in-float (FUSION.cpp:170-216); real depth cameras emit
+    u16 depth.  This is the equivalent compact ingest format for the TPU
+    pipeline: the device frontend dequantizes/unpacks (ops/integrate.py),
+    so host->device transfer shrinks 2.5x — on bandwidth-starved links
+    (the axon tunnel measures ~37 MB/s) that is the difference between
+    transfer-bound and compute-bound.
+    """
+    points_q: np.ndarray   # (3,N) u16 quantized camera-frame points
+    quant: np.ndarray      # (2,3) f32: [scale, offset] per axis
+    rgb_u32: np.ndarray    # (N,)  u32 packed 0xRRGGBB
+    count: int             # number of valid points (prefix)
+    pose: np.ndarray       # (4,4) f32
+    points_f32: np.ndarray  # (3,N) f32 dequantized points (oracle/parity
+    #                         side — EXACTLY what the device reconstructs)
+
+
+def pack_frame_q16(frame: Frame, n_max: int) -> PackedFrame:
+    """Quantize a frame to the u16 wire format, bit-reproducibly.
+
+    Per-axis scale is a POWER OF TWO >= range/65535, so on both host and
+    device the dequantization ``q * scale + offset`` rounds identically
+    (q*scale is exact — q < 2^16, scale a power of two — so mul+add and a
+    fused multiply-add produce the same f32); ``points_f32`` is that
+    dequantization, the values every consumer (device, oracle, tests)
+    must agree on.
+    """
+    n = frame.points_cam.shape[0]
+    if n > n_max:
+        raise ValueError(f"frame has {n} points > max_points {n_max}")
+    pts = frame.points_cam.astype(np.float32)      # (N,3)
+    lo = pts.min(axis=0)
+    rng = pts.max(axis=0) - lo
+    # scale = 2^ceil(log2(range/65535)); degenerate axes get scale 2^-24
+    exp = np.where(rng > 0, np.ceil(np.log2(np.maximum(rng, 1e-30)
+                                            / 65535.0)), -24.0)
+    scale = np.exp2(exp).astype(np.float32)
+    offset = lo.astype(np.float32)
+    q = np.clip(np.rint((pts - offset) / scale), 0, 65535).astype(np.uint16)
+    pq = np.zeros((3, n_max), np.uint16)
+    pq[:, :n] = q.T
+    # dequantize the PADDED array so points_f32 matches the device lane-
+    # for-lane (padding lanes dequantize to the offset; masked anyway)
+    pf = pq.astype(np.float32) * scale[:, None] + offset[:, None]
+    r = frame.rgb.astype(np.uint32)
+    rgb_u32 = np.zeros((n_max,), np.uint32)
+    rgb_u32[:n] = (r[:, 0] << 16) | (r[:, 1] << 8) | r[:, 2]
+    return PackedFrame(
+        points_q=pq,
+        quant=np.stack([scale, offset]).astype(np.float32),
+        rgb_u32=rgb_u32,
+        count=n,
+        pose=frame.pose.astype(np.float32),
+        points_f32=pf,
+    )
+
+
 def pad_frame(frame: Frame, n_max: int) -> Frame:
     """Pad a frame to the static lane budget with masked lanes and convert
     to the device-side planar layout: points_cam/rgb become (3, n_max)

@@ -98,17 +98,21 @@ def main():
     log(str(grid_metrics(grid, cfg)))
 
     if os.environ.get("PROF_TRACE"):
+        # trace the EXACT program variants the bench steady state runs:
+        # per-frame integrate, steady-budget refine, capped extract
+        # (bench.py STEADY_BUDGETS / EXTRACT_CAP)
+        from bench import STEADY_BUDGETS, EXTRACT_CAP
         from hifi_fusion_tpu.ops.extract import extract
         base = os.environ["PROF_TRACE"]
         with jax.profiler.trace(os.path.join(base, "integrate")):
             g2 = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
                                  config=cfg)
             fetch(g2)
-        with jax.profiler.trace(os.path.join(base, "refine")):
-            g2 = refine_pass(g2, config=cfg)
+        with jax.profiler.trace(os.path.join(base, "refine_steady")):
+            g2 = refine_pass(g2, config=cfg, **STEADY_BUDGETS)
             fetch(g2)
         with jax.profiler.trace(os.path.join(base, "extract")):
-            r = extract(g2, config=cfg)
+            r = extract(g2, config=cfg, cap=EXTRACT_CAP)
             np.asarray(r.n_valid)
 
 

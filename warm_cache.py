@@ -53,6 +53,15 @@ def main():
     grid = integrate_frame(grid, pts, rgb, mask, pose, config=cfg)
     np.asarray(grid.frames)
     log(f"integrate_frame@bench: {time.monotonic()-t0:.1f}s")
+    # the packed wire-format variant (bench.py BENCH_PACKED default)
+    t0 = time.monotonic()
+    grid = integrate_frame(
+        grid, jnp.zeros((3, N), jnp.uint16), jnp.zeros((N,), jnp.uint32),
+        jnp.asarray(np.int32(0)), pose, config=cfg,
+        quant=jnp.asarray(np.asarray([[1.0, 1.0, 1.0],
+                                      [0.0, 0.0, 0.0]], np.float32)))
+    np.asarray(grid.frames)
+    log(f"integrate_frame@bench packed-u16: {time.monotonic()-t0:.1f}s")
     from bench import BATCH
     if BATCH > 1:
         t0 = time.monotonic()
