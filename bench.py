@@ -68,6 +68,21 @@ BATCH = int(os.environ.get("BENCH_BATCH", 1))
 STEADY_BUDGETS = dict(cand_lanes=1 << 15, buf_lanes=1 << 19,
                       replay_runs=1 << 17, replay_lanes=1 << 19)
 EXTRACT_CAP = 1 << 20
+# Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
+# u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
+# ~= 33 ms on the 37 MB/s axon tunnel, the 30 Hz sensor cadence), "q16" =
+# u16-quantized points + u32 rgb (10 B/pt), "f32" = planar float (25 B/pt).
+WIRE = os.environ.get("BENCH_WIRE", "depth")
+if os.environ.get("BENCH_PACKED") == "0":     # legacy switch
+    WIRE = "f32"
+if BATCH > 1:
+    WIRE = "f32"                               # batched mode stays planar
+# Narrow dependant-width integrate variant (ops/integrate.py dep_width):
+# the pair machinery scales with the static per-cell fan-in bound; live
+# max(dep_count) is fetched after each refine (deps are frozen between
+# passes, so the choice is exact — a too-narrow pick is impossible).
+# BENCH_DW=0 disables (always the full-width variant).
+STEADY_DW = int(os.environ.get("BENCH_DW", 8)) or None
 
 _T0 = time.monotonic()
 
@@ -201,13 +216,32 @@ def bench_config(frames=None):
 
 
 def make_frames(cfg, n_frames):
-    from hifi_fusion_tpu.utils.synthetic import make_sweep
     t0 = time.monotonic()
-    frames = make_sweep(cfg, n_frames, POINTS, seed=0, noise_sd=3e-4,
-                        camera_height=0.4)
-    log(f"synthetic sweep: {n_frames}x{POINTS} pts "
+    if WIRE == "depth":
+        from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
+        assert POINTS % 640 == 0, "depth wire needs 640-wide frames"
+        frames = make_depth_sweep(cfg, n_frames, width=640,
+                                  height=POINTS // 640,
+                                  seed=0, noise_sd=3e-4, camera_height=0.4)
+    else:
+        from hifi_fusion_tpu.utils.synthetic import make_sweep
+        frames = make_sweep(cfg, n_frames, POINTS, seed=0, noise_sd=3e-4,
+                            camera_height=0.4)
+    log(f"synthetic sweep ({WIRE}): {n_frames}x{POINTS} pts "
         f"({time.monotonic()-t0:.1f}s)")
     return frames
+
+
+def baseline_points(fr):
+    """(N,3) f32 camera points for the C++ oracle — the CANONICAL values
+    the device reconstructs from the wire format (parity depends on it).
+    Zero-depth (invalid) pixels dequantize to the origin, which the
+    camera-z clip drops on both sides."""
+    pf = getattr(fr, "points_f32", None)
+    if pf is not None:
+        n = getattr(fr, "count", pf.shape[1])
+        return np.ascontiguousarray(pf[:, :n].T)
+    return fr.points_cam
 
 
 def run_tpu(cfg, frames):
@@ -244,16 +278,20 @@ def run_tpu(cfg, frames):
     def fetch(x):
         return np.asarray(x)          # device->host fetch = reliable barrier
 
-    # Ingest format: u16-quantized points + u32-packed rgb + a count scalar
-    # (10 B/pt) instead of planar f32 points+rgb+mask (25 B/pt).  The axon
-    # host->device tunnel streams at ~37 MB/s, so the f32 format costs
-    # ~200 ms/frame of transfer — comparable to the whole compute budget.
-    # The device frontend dequantizes bit-reproducibly (utils/synthetic.py
-    # pack_frame_q16); --verify runs the oracle on the identical
-    # dequantized f32 points.  BENCH_PACKED=0 restores the f32 path.
-    PACKED = os.environ.get("BENCH_PACKED", "1") != "0" and BATCH == 1
+    # Ingest format (BENCH_WIRE, see module header): the axon host->device
+    # tunnel streams at ~37 MB/s, so wire bytes/frame bound throughput —
+    # depth (4 B/px) = 33 ms/frame, q16 (10 B/pt) = 83 ms, f32 (25 B/pt)
+    # = 200 ms.  Every format dequantizes bit-reproducibly on device;
+    # --verify runs the oracle on the identical dequantized f32 points.
     t0 = time.monotonic()
-    if PACKED:
+    jrays = None
+    if WIRE == "depth":
+        from hifi_fusion_tpu.utils.synthetic import camera_rays
+        jrays = jax.device_put(camera_rays(640, POINTS // 640))
+        host = [(f.depth_q, f.rgb565, np.int32(f.count), f.pose)
+                for f in frames]
+        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
+    elif WIRE == "q16":
         from hifi_fusion_tpu.utils.synthetic import pack_frame_q16
         pk = [pack_frame_q16(f, cfg.max_points) for f in frames]
         host = [(f.points_q, f.quant, f.rgb_u32,
@@ -298,20 +336,34 @@ def run_tpu(cfg, frames):
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
         first = True
+        # dependant-width variant: exact by construction — dep_count only
+        # changes inside refine passes, so the post-refine fetch always
+        # sees the counts the next REFINE_EVERY integrates will read
+        dw = STEADY_DW
         t0 = time.monotonic()
+
+        def post_refine_dw():
+            if STEADY_DW is None:
+                return None
+            qc = quick_counts(grid, cfg)
+            return STEADY_DW if (qc["max_dependants_used"]
+                                 <= STEADY_DW) else None
+
         if BATCH > 1:
             n_frames = max((n_frames // BATCH) * BATCH, BATCH)
             done = refines = 0
             for b in range(n_frames // BATCH):
                 p, c, m_, t = hbat[b % len(hbat)]
+                kw = {} if dw is None else dict(dep_width=dw)
                 grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
                                        jnp.asarray(m_), jnp.asarray(t),
-                                       config=cfg)
+                                       config=cfg, **kw)
                 done += BATCH
                 while done // REFINE_EVERY > refines:
                     grid = refine_policy(grid, first)
                     first = False
                     refines += 1
+                    dw = post_refine_dw()
         else:
             # host->device staging runs on its own thread (the transfer
             # blocks the issuing thread through the tunnel; the GIL is
@@ -333,16 +385,23 @@ def run_tpu(cfg, frames):
             stager.start()
             for i in range(n_frames):
                 df = dq.get()
-                if PACKED:
+                kw = {} if dw is None else dict(dep_width=dw)
+                if WIRE == "depth":
+                    d_, rc, cnt, ps = df
+                    grid = integrate_frame(grid, d_, rc, cnt, ps,
+                                           config=cfg, rays=jrays, **kw)
+                elif WIRE == "q16":
                     pq, qn, rc, cnt, ps = df
                     grid = integrate_frame(grid, pq, rc, cnt, ps,
-                                           config=cfg, quant=qn)
+                                           config=cfg, quant=qn, **kw)
                 else:
                     p, c, m_, t = df
-                    grid = integrate_frame(grid, p, c, m_, t, config=cfg)
+                    grid = integrate_frame(grid, p, c, m_, t, config=cfg,
+                                           **kw)
                 if (i + 1) % REFINE_EVERY == 0:
                     grid = refine_policy(grid, first)
                     first = False
+                    dw = post_refine_dw()
         grid = refine_policy(grid, first)
         result = extract(grid, config=cfg, cap=EXTRACT_CAP)
         n_vox = int(fetch(result.n_valid))
@@ -379,7 +438,8 @@ def run_tpu(cfg, frames):
     save_measured(tpu_notes=(
         f"bench.py steady-state on {jax.devices()[0].device_kind} "
         f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
-        f"batch={BATCH} frames/dispatch, "
+        f"wire={WIRE} ({per_frame_bytes/1e6:.2f} MB/frame), batch={BATCH}, "
+        f"steady dep_width={STEADY_DW}, "
         f"refine every {REFINE_EVERY} (steady budgets {STEADY_BUDGETS}),"
         f" final extract included; zero overflow counters asserted. "
         f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))
@@ -403,7 +463,7 @@ def run_baseline(cfg, frames):
     t0 = time.monotonic()
     done = 0
     for i, fr in enumerate(frames):
-        cc.integrate_frame(fr.points_cam, None, fr.pose)
+        cc.integrate_frame(baseline_points(fr), None, fr.pose)
         done += 1
         if (i + 1) % REFINE_EVERY == 0:
             cc.refine()
@@ -449,10 +509,15 @@ def run_verify(n_frames=4):
 
     cfg = bench_config()
     frames = make_frames(cfg, n_frames)
-    # the production ingest format (u16 points + u32 rgb + count): the
-    # device consumes the packed frame, the oracle the IDENTICAL
-    # dequantized f32 points — the parity claim covers the whole wire path
-    pks = [pack_frame_q16(fr, cfg.max_points) for fr in frames]
+    # the production ingest format (depth/q16 wire): the device consumes
+    # the packed frame, the oracle the IDENTICAL dequantized f32 points —
+    # the parity claim covers the whole wire path
+    if WIRE == "depth":
+        from hifi_fusion_tpu.utils.synthetic import camera_rays
+        jrays = jnp.asarray(camera_rays(640, POINTS // 640))
+        wire_frames = frames
+    else:
+        wire_frames = [pack_frame_q16(fr, cfg.max_points) for fr in frames]
     if not oracle_native.available():
         from hifi_fusion_tpu.runtime import native as rt_native
         rt_native.build()
@@ -461,20 +526,50 @@ def run_verify(n_frames=4):
     pipe = FusionPipeline(cfg)
 
     def fuse_device(perm_seed=None):
+        """perm_seed=None: the native wire ingest.  perm_seed set: the
+        PLANAR f32 path fed the canonical dequantized points in permuted
+        lane order — one run that checks both wire==f32 bit-parity and
+        sum-form order-invariance."""
         rng = np.random.default_rng(perm_seed)
         grid = pipe.init()
-        for i, pk in enumerate(pks):
-            pq, rc = pk.points_q, pk.rgb_u32
+        for i, wf in enumerate(wire_frames):
             if perm_seed is not None:
-                p = rng.permutation(pk.count)
-                pq = np.array(pq)
-                rc = np.array(rc)
-                pq[:, :pk.count] = pq[:, p]
-                rc[:pk.count] = rc[p]
-            grid = integrate_frame(grid, jnp.asarray(pq), jnp.asarray(rc),
-                                   jnp.asarray(np.int32(pk.count)),
-                                   jnp.asarray(pk.pose), config=cfg,
-                                   quant=jnp.asarray(pk.quant))
+                n = wf.count
+                p = rng.permutation(n)
+                pts = np.zeros((3, cfg.max_points), np.float32)
+                pts[:, :n] = wf.points_f32[:, :n][:, p]
+                mask = np.zeros(cfg.max_points, bool)
+                if WIRE == "depth":
+                    mask[:n] = (wf.depth_q > 0)[p]
+                else:
+                    mask[:n] = True
+                rgbp = np.zeros((3, cfg.max_points), np.float32)
+                if WIRE == "depth":
+                    r = wf.rgb565.astype(np.uint32)[p]
+                    rgbp[0, :n] = ((r >> 11) & 0x1F) * 8.0
+                    rgbp[1, :n] = ((r >> 5) & 0x3F) * 4.0
+                    rgbp[2, :n] = (r & 0x1F) * 8.0
+                else:
+                    r = wf.rgb_u32.astype(np.uint32)[:n][p]
+                    rgbp[0, :n] = (r >> 16) & 0xFF
+                    rgbp[1, :n] = (r >> 8) & 0xFF
+                    rgbp[2, :n] = r & 0xFF
+                grid = integrate_frame(grid, jnp.asarray(pts),
+                                       jnp.asarray(rgbp),
+                                       jnp.asarray(mask),
+                                       jnp.asarray(wf.pose), config=cfg)
+            elif WIRE == "depth":
+                grid = integrate_frame(grid, jnp.asarray(wf.depth_q),
+                                       jnp.asarray(wf.rgb565),
+                                       jnp.asarray(np.int32(wf.count)),
+                                       jnp.asarray(wf.pose), config=cfg,
+                                       rays=jrays)
+            else:
+                grid = integrate_frame(grid, jnp.asarray(wf.points_q),
+                                       jnp.asarray(wf.rgb_u32),
+                                       jnp.asarray(np.int32(wf.count)),
+                                       jnp.asarray(wf.pose), config=cfg,
+                                       quant=jnp.asarray(wf.quant))
             if (i + 1) % 2 == 0:
                 grid = pipe.refine(grid)
         return pipe.refine(grid)
@@ -487,10 +582,12 @@ def run_verify(n_frames=4):
             assert v == 0, f"device overflow at bench scale: {k}={v}"
     dev = to_host(pipe.extract(grid))
 
-    # ---- device self-consistency under permuted point order (VERDICT r1
-    # next-#7): the sum-form accumulators make integer outputs bit-exact
-    # and f32 stats sum-order-stable; a clean pass here pins the residual
-    # vs the oracle below as purely cross-compiler arithmetic.
+    # ---- device self-consistency: wire ingest vs PLANAR f32 path under
+    # permuted point order (VERDICT r1 next-#7).  The sum-form accumulators
+    # make integer outputs bit-exact and f32 stats sum-order-stable, and
+    # the wire dequantization is bit-reproducible — so this one comparison
+    # checks both; a clean pass pins the residual vs the oracle below as
+    # purely cross-compiler arithmetic.
     dev2 = to_host(pipe.extract(fuse_device(perm_seed=0)))
     np.testing.assert_array_equal(dev["cell"], dev2["cell"])
     np.testing.assert_array_equal(dev["count"], dev2["count"])
@@ -499,10 +596,8 @@ def run_verify(n_frames=4):
         f"{dev['cell'].size} voxels (counts bit-identical)")
 
     cc = oracle_native.NativeOracle(cfg)
-    for i, pk in enumerate(pks):
-        cc.integrate_frame(
-            np.ascontiguousarray(pk.points_f32[:, :pk.count].T),
-            None, pk.pose)
+    for i, wf in enumerate(wire_frames):
+        cc.integrate_frame(baseline_points(wf), None, wf.pose)
         if (i + 1) % 2 == 0:
             cc.refine()
     cc.refine()

@@ -170,7 +170,7 @@ def _quick_counts(grid: GridState, capacity: int) -> jax.Array:
     separate tiny dispatches; this is one).  Returns i32[14]:
     [occupied, normals_found, refine_candidates, buffered_points, frames,
      overflow x8 (probe,buf,dep,refine,unique,hits,replay,active),
-     reclaimed]."""
+     reclaimed, max_dependants_used]."""
     C = capacity
     occ = occupied_slots(grid, C)
     nf = grid.normal_found[:C]
@@ -185,6 +185,7 @@ def _quick_counts(grid: GridState, capacity: int) -> jax.Array:
         grid.overflow_refine, grid.overflow_unique, grid.overflow_hits,
         grid.overflow_replay, grid.overflow_active,
         grid.reclaimed,
+        jnp.max(grid.dep_count[:C]),
     ])
 
 
@@ -193,7 +194,7 @@ _QUICK_FIELDS = ("occupied_voxels", "normals_found", "refine_candidates",
                  "overflow_probe", "overflow_buffer", "overflow_dependants",
                  "overflow_refine", "overflow_unique", "overflow_hits",
                  "overflow_replay", "overflow_active",
-                 "buffer_lanes_reclaimed")
+                 "buffer_lanes_reclaimed", "max_dependants_used")
 
 
 def quick_counts(grid: GridState, config: FusionConfig) -> dict:

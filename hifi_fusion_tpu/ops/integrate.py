@@ -91,12 +91,18 @@ def _frontend(points_cam, mask, pose, config, offset=None,
     return world, geometry.cell_id(coords, config), valid
 
 
-def _unpack_inputs(points_cam, rgb, mask, quant):
+def _unpack_inputs(points_cam, rgb, mask, quant, rays=None):
     """Wire-format ingest: dequantize/unpack compact frame encodings.
 
     Ingest variants are keyed on dtype/rank so the f32 path's jaxpr (and
     its persistent-cache entry) is untouched:
 
+    * ``points_cam`` u16 (N,) z-DEPTH image + ``rays`` (3,N) f32
+      device-resident scaled pinhole rays — the sensor-native 4 B/pixel
+      format (RealSense Z16+RGB565; see utils/synthetic.DepthFrame).
+      Unprojection is ONE f32 multiply ``depth * rays``, bit-identical
+      to the host-side canonical ``points_f32``.  Zero depth marks an
+      invalid pixel (sensor convention).
     * ``points_cam`` u16 (3,N) + ``quant`` (2,3) f32 [scale, offset] —
       dequantized ``q * scale + offset``; the packer uses power-of-two
       scales so this reproduces the host-side f32 values bit-exactly
@@ -105,15 +111,23 @@ def _unpack_inputs(points_cam, rgb, mask, quant):
       with the CORRECT {16,8,0} shifts (the wire format is ours; the
       reference's blue-shift bug-compat lives in runtime/decode.py where
       its PointCloud2 unpack is reproduced, FUSION.cpp:170-180).
+    * ``rgb`` u16 (N,) packed 5:6:5 — expanded to 8-bit channels by the
+      usual left-shift convention (r<<3, g<<2, b<<3).
     * ``mask`` scalar int — expands to ``arange(N) < count`` (frames are
       a count-prefixed prefix, no (N,) bool transfer needed).
 
-    10 B/point on the wire vs 25 B/point planar-f32 — on bandwidth-
+    4-10 B/point on the wire vs 25 B/point planar-f32 — on bandwidth-
     starved host->device links (the axon tunnel measures ~37 MB/s) the
-    frame transfer drops from ~200 ms to ~80 ms.
+    frame transfer drops from ~200 ms to 33-80 ms.
     """
     f32 = jnp.float32
-    if points_cam.dtype == jnp.uint16:
+    depth_valid = None
+    if points_cam.dtype == jnp.uint16 and points_cam.ndim == 1:
+        if rays is None:
+            raise ValueError("u16 depth ingest needs rays=(3,N) f32")
+        depth_valid = points_cam > 0
+        points_cam = points_cam.astype(f32)[None, :] * rays
+    elif points_cam.dtype == jnp.uint16:
         if quant is None:
             raise ValueError("u16 points need quant=(2,3) [scale, offset]")
         points_cam = (points_cam.astype(f32) * quant[0][:, None]
@@ -122,9 +136,15 @@ def _unpack_inputs(points_cam, rgb, mask, quant):
         rgb = jnp.stack([((rgb >> 16) & 0xFF).astype(f32),
                          ((rgb >> 8) & 0xFF).astype(f32),
                          (rgb & 0xFF).astype(f32)], axis=0)
+    elif rgb.dtype == jnp.uint16:
+        rgb = jnp.stack([((rgb >> 11) & 0x1F).astype(f32) * 8.0,
+                         ((rgb >> 5) & 0x3F).astype(f32) * 4.0,
+                         (rgb & 0x1F).astype(f32) * 8.0], axis=0)
     if mask.ndim == 0:
         n = points_cam.shape[-1]
         mask = jnp.arange(n, dtype=jnp.int32) < mask.astype(jnp.int32)
+    if depth_valid is not None:
+        mask = mask & depth_valid
     return points_cam, rgb, mask
 
 
@@ -144,9 +164,10 @@ def integrate_frame_impl(grid: GridState,
                          pose: jax.Array,        # (4,4) f32 fusion_T_camera
                          *, config: FusionConfig,
                          offset=None, pre_transformed=False,
-                         extra_dropped=None, quant=None,
+                         extra_dropped=None, quant=None, rays=None,
                          active_lanes=None, unique_lanes=None,
-                         pair_lanes=None, hit_lanes=None) -> GridState:
+                         pair_lanes=None, hit_lanes=None,
+                         dep_width=None) -> GridState:
     """Single-frame (planar (3,N)) or BATCHED ((K,3,N) + (K,4,4) poses)
     integration — batching is keyed on input rank so the single-frame HLO
     is unchanged.
@@ -172,7 +193,8 @@ def integrate_frame_impl(grid: GridState,
     B = config.buffer_capacity
     f32 = jnp.float32
     i32 = jnp.int32
-    points_cam, rgb, mask = _unpack_inputs(points_cam, rgb, mask, quant)
+    points_cam, rgb, mask = _unpack_inputs(points_cam, rgb, mask, quant,
+                                           rays)
     batched = points_cam.ndim == 3
 
     if batched:
@@ -370,36 +392,56 @@ def integrate_frame_impl(grid: GridState,
 
     # ---- dependant streaming (OccupancyGrid.hpp:244-277) ----------------
     # Pair space = (active point, dependant lane), point-major.  Dependant
-    # rows are fetched once per UNIQUE cell as contiguous D-wide rows, then
+    # rows are fetched once per UNIQUE cell as contiguous rows, then
     # broadcast to the cell's points through the sorted-segment index
     # (ascending -> streaming access, not random).
+    #
+    # ``dep_width`` (static) bounds the per-cell fan-in this dispatch
+    # expands — the WHOLE pair lane space (the sort + every fill/scan/sum
+    # below) scales with it.  Dependant counts only grow during refine
+    # passes, so a session can read max(dep_count) after each refine and
+    # pick the narrowest compiled variant that covers it (bench.py does);
+    # cells with dep_cnt > dep_width have their excess pairs counted in
+    # overflow_hits (never silent).  Measured at the 1 mm bench config the
+    # live maximum is 6 vs the static D=12 — a 2x cut of the dominant
+    # integrate machinery.
     scale = K if batched else 1
+    DW = min(dep_width if dep_width is not None else D, D)
     UH = min(hit_lanes if hit_lanes is not None
-             else scale * config.max_hit_voxels, NA * D)
-    dj_row = jnp.arange(D, dtype=i32)[None, :]             # (1,D)
-    udep_rows = grid.dep[us[:, None] * D + dj_row]         # (U,D) row gather
+             else scale * config.max_hit_voxels, NA * DW)
+    dj_row = jnp.arange(DW, dtype=i32)[None, :]            # (1,DW)
+    udep_rows = grid.dep[us[:, None] * D + dj_row]         # (U,DW) row gather
     udep_cnt = grid.dep_count[us]                          # (U,)
-    # broadcast the D dep slots + count to point lanes with ONE stacked
-    # segment fill (13 channels x NA) instead of (NA,D) row gathers
-    dep_start = jnp.zeros((D + 1, NA), i32).at[:, uorder].set(
+    # broadcast the DW dep slots + count to point lanes with ONE stacked
+    # segment fill ((DW+1) channels x NA) instead of (NA,DW) row gathers
+    dep_start = jnp.zeros((DW + 1, NA), i32).at[:, uorder].set(
         jnp.concatenate([udep_rows.T, udep_cnt[None, :]], axis=0),
         unique_indices=True)
-    dep_fill = segment_fill(dep_start, starts)             # (D+1,NA)
-    dep_rows = dep_fill[:D].T                              # (NA,D)
-    dep_cnt_s = dep_fill[D]
+    dep_fill = segment_fill(dep_start, starts)             # (DW+1,NA)
+    dep_rows = dep_fill[:DW].T                             # (NA,DW)
+    dep_cnt_s = dep_fill[DW]
     dvalid = (placed_s[:, None] & (dj_row < dep_cnt_s[:, None])
-              & (dep_rows >= 0))                           # (NA,D)
+              & (dep_rows >= 0))                           # (NA,DW)
+    # pairs beyond the dep_width window (a too-narrow variant was chosen);
+    # at full width dep_cnt <= D by construction (refine caps appends), so
+    # the guard exists only in narrowed variants (keeps the default HLO —
+    # and its persistent-cache entry — unchanged)
+    if DW < D:
+        n_wide = jnp.sum(jnp.where(placed_s,
+                                   jnp.maximum(dep_cnt_s - DW, 0), 0))
+    else:
+        n_wide = 0
 
     # sort pair lanes by owner slot, point coords riding as payloads; the
     # sort also compacts ACTIVE pairs into a prefix, so the fill/scan/sum
     # machinery below runs on the (much smaller) static pair budget
-    pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)   # (NA*D,)
+    pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)   # (NA*DW,)
     P = min(pair_lanes if pair_lanes is not None
-            else scale * config.max_stream_pairs, NA * D)
+            else scale * config.max_stream_pairs, NA * DW)
     n_pair = jnp.sum(dvalid.astype(i32))
-    ppx = jnp.broadcast_to(world_s[0][:, None], (NA, D)).reshape(-1)
-    ppy = jnp.broadcast_to(world_s[1][:, None], (NA, D)).reshape(-1)
-    ppz = jnp.broadcast_to(world_s[2][:, None], (NA, D)).reshape(-1)
+    ppx = jnp.broadcast_to(world_s[0][:, None], (NA, DW)).reshape(-1)
+    ppy = jnp.broadcast_to(world_s[1][:, None], (NA, DW)).reshape(-1)
+    ppz = jnp.broadcast_to(world_s[2][:, None], (NA, DW)).reshape(-1)
     powner, px, py, pz = jax.lax.sort((pairkey, ppx, ppy, ppz),
                                       num_keys=1, is_stable=True)
     powner = powner[:P]
@@ -421,6 +463,8 @@ def integrate_frame_impl(grid: GridState,
     n_over = jnp.sum(pstarts.astype(i32)) - UH
     overflow_hits = (grid.overflow_hits + jnp.maximum(n_over, 0)
                      + jnp.maximum(n_pair - P, 0))
+    if DW < D:
+        overflow_hits = overflow_hits + n_wide
 
     def _at_starts(vals):                                  # (UH,) -> (P,)
         # sorder is a permutation prefix => unique positions; rows past
@@ -477,5 +521,6 @@ def integrate_frame_impl(grid: GridState,
 integrate_frame = partial(jax.jit,
                           static_argnames=("config", "pre_transformed",
                                            "active_lanes", "unique_lanes",
-                                           "pair_lanes", "hit_lanes"),
+                                           "pair_lanes", "hit_lanes",
+                                           "dep_width"),
                           donate_argnames=("grid",))(integrate_frame_impl)

@@ -146,6 +146,109 @@ def pack_frame_q16(frame: Frame, n_max: int) -> PackedFrame:
     )
 
 
+@dataclasses.dataclass
+class DepthFrame:
+    """Sensor-native wire format: 4 B/pixel (u16 z-depth + rgb565).
+
+    This is what a RealSense-class RGBD camera actually emits (Z16 +
+    RGB565 stream formats) — the reference consumes the same stream
+    after ROS inflates it to 16-32 B/point PointCloud2 (FUSION.cpp:
+    182-216, launch:3).  Ingesting the sensor format directly makes the
+    wire cost 640x480x4 B = 1.23 MB/frame; at the axon tunnel's measured
+    ~37 MB/s that is ~33 ms/frame — exactly the 30 Hz sensor cadence —
+    where the planar f32 format (25 B/pt) costs ~200 ms/frame.
+
+    Unprojection happens on device: ``pc = depth_u16.astype(f32) *
+    srays`` where ``srays = ray_dir * depth_scale`` is a device-resident
+    (3,N) f32 constant (uploaded once per session).  ``points_f32`` is
+    the identical host-side computation — the canonical values every
+    consumer (device, oracles, tests) must agree on bit-for-bit.
+    """
+    depth_q: np.ndarray    # (N,) u16 z-depth in units of depth_scale
+    rgb565: np.ndarray     # (N,) u16 packed 5:6:5 color
+    pose: np.ndarray       # (4,4) f32 fusion_T_camera
+    count: int             # valid prefix length (== N for organized frames)
+    points_f32: np.ndarray  # (3,N) f32 canonical camera-frame points
+
+
+# depth units: 2^-16 m (15.26 um); u16 range covers 1.0 m — beyond the
+# reference's 0.6 m camera-z clip (FUSION.cpp:92-93).  A power of two
+# keeps ``q * (ray*scale)`` a single exactly-reproducible f32 multiply.
+DEPTH_SCALE = 2.0 ** -16
+
+
+def camera_rays(width: int = 640, height: int = 480,
+                fx: float = 500.0, fy: float = 500.0,
+                scale: float = DEPTH_SCALE) -> np.ndarray:
+    """(3, width*height) f32 scaled pinhole rays: ``srays[:, i] =
+    ((u-cx)/fx, (v-cy)/fy, 1) * scale`` — row-major pixel order.
+    ``depth_q * srays`` unprojects a z-depth image in ONE f32 multiply."""
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    u = np.arange(width, dtype=np.float64)
+    v = np.arange(height, dtype=np.float64)
+    rx = np.broadcast_to((u - cx) / fx, (height, width))
+    ry = np.broadcast_to(((v - cy) / fy)[:, None], (height, width))
+    rays = np.stack([rx.ravel(), ry.ravel(),
+                     np.ones(width * height)], axis=0)
+    return (rays * scale).astype(np.float32)
+
+
+def make_depth_sweep(config: FusionConfig,
+                     n_frames: int,
+                     width: int = 640,
+                     height: int = 480,
+                     seed: int = 0,
+                     noise_sd: float = 3e-4,
+                     surface_frac: float = 0.5,
+                     camera_height: float = 0.4,
+                     srays: np.ndarray = None) -> List[DepthFrame]:
+    """The make_sweep surface observed as ORGANIZED z-depth images.
+
+    Each pixel's depth solves ``camera_z - z = surface(world(z))`` by
+    fixed-point iteration in f64 (the surface slope along a ray is <~0.1,
+    so 4 rounds converge far below the u16 quantum), then quantizes to
+    u16.  ``points_f32`` is the canonical device dequantization
+    ``depth_q.astype(f32) * srays``.
+    """
+    rng = np.random.default_rng(seed)
+    if srays is None:
+        srays = camera_rays(width, height)
+    rays64 = srays.astype(np.float64) / DEPTH_SCALE      # unit-z rays
+    b = config.bbox
+    xr = (b[1] - b[0]) * surface_frac
+    yr = (b[3] - b[2]) * surface_frac
+    x0 = (b[0] + b[1]) / 2 - xr / 2
+    y0 = (b[2] + b[3]) / 2
+    z0 = b[4] + 0.35 * (b[5] - b[4])
+    amp = 0.06 * (b[5] - b[4])
+    n = width * height
+
+    frames = []
+    for f in range(n_frames):
+        cx = x0 + xr * (0.25 + 0.5 * f / max(n_frames - 1, 1))
+        cy = y0
+        cz = z0 + camera_height
+        pose = _look_down_pose(cx, cy, cz)
+        noise = rng.normal(0.0, noise_sd, n)
+        z = np.full(n, camera_height)
+        for _ in range(4):
+            wx = cx + rays64[0] * z
+            wy = cy - rays64[1] * z
+            z = (cz - z0 - amp * np.sin(7.0 * wx) * np.cos(5.0 * wy)
+                 - noise)
+        depth_q = np.clip(np.rint(z / DEPTH_SCALE), 0, 65535).astype(
+            np.uint16)
+        pf = depth_q.astype(np.float32)[None, :] * srays    # (3,N)
+        frames.append(DepthFrame(
+            depth_q=depth_q,
+            rgb565=rng.integers(0, 1 << 16, n).astype(np.uint16),
+            pose=pose.astype(np.float32),
+            count=n,
+            points_f32=pf,
+        ))
+    return frames
+
+
 def pad_frame(frame: Frame, n_max: int) -> Frame:
     """Pad a frame to the static lane budget with masked lanes and convert
     to the device-side planar layout: points_cam/rgb become (3, n_max)

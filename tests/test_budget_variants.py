@@ -102,3 +102,44 @@ def test_quick_counts_matches_grid_metrics():
         if k in m:
             assert m[k] == v, (k, v, m[k])
     assert qc["refine_candidates"] <= m["occupied_voxels"]
+
+
+def _fuse_dw(dep_width):
+    """Fuse alternating integrate/refine with a dep_width-narrowed
+    integrate variant (ops/integrate.py): exact whenever dep_width covers
+    the live max(dep_count), counted in overflow_hits otherwise."""
+    grid = make_grid(CFG)
+    frames = make_sweep(CFG, 6, 2048, seed=7, surface_frac=0.6)
+    for i, fr in enumerate(frames):
+        pf = pad_frame(fr, CFG.max_points)
+        kw = {} if dep_width is None else dict(dep_width=dep_width)
+        grid = integrate_frame(grid, jnp.asarray(pf.points_cam),
+                               jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
+                               jnp.asarray(pf.pose), config=CFG, **kw)
+        if (i + 1) % 2 == 0:
+            grid = refine_pass(grid, config=CFG)
+    return refine_pass(grid, config=CFG)
+
+
+def test_dep_width_variant_bit_identical_when_covering():
+    full = _fuse_dw(None)
+    qc = quick_counts(full, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    live_max = qc["max_dependants_used"]
+    assert 0 < live_max <= CFG.max_dependants
+    narrow = _fuse_dw(min(live_max + 1, CFG.max_dependants))
+    for k, v in grid_metrics(narrow, CFG).items():
+        if k.startswith("overflow"):
+            assert v == 0, (k, v)
+    a, b = _extract_np(full), _extract_np(narrow)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_dep_width_too_narrow_counts_overflow_hits():
+    full = _fuse_dw(None)
+    live_max = quick_counts(full, CFG)["max_dependants_used"]
+    if live_max < 2:
+        pytest.skip("sweep produced no multi-dependant cells")
+    starved = _fuse_dw(1)
+    assert int(starved.overflow_hits) > 0

@@ -62,6 +62,22 @@ def main():
                                       [0.0, 0.0, 0.0]], np.float32)))
     np.asarray(grid.frames)
     log(f"integrate_frame@bench packed-u16: {time.monotonic()-t0:.1f}s")
+    # the sensor-native depth wire (bench.py BENCH_WIRE default) at the
+    # steady dep-width variant and the full-width fallback
+    from bench import STEADY_DW
+    from hifi_fusion_tpu.utils.synthetic import camera_rays
+    jrays = jnp.asarray(camera_rays(640, N // 640))
+    dvariants = ([STEADY_DW] if STEADY_DW else []) + [None]
+    for dwv in dvariants:
+        t0 = time.monotonic()
+        kw = {} if dwv is None else dict(dep_width=dwv)
+        grid = integrate_frame(grid, jnp.zeros((N,), jnp.uint16),
+                               jnp.zeros((N,), jnp.uint16),
+                               jnp.asarray(np.int32(0)), pose, config=cfg,
+                               rays=jrays, **kw)
+        np.asarray(grid.frames)
+        log(f"integrate_frame@bench depth dep_width={dwv}: "
+            f"{time.monotonic()-t0:.1f}s")
     from bench import BATCH
     if BATCH > 1:
         t0 = time.monotonic()
