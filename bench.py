@@ -75,8 +75,30 @@ EXTRACT_CAP = 1 << 20
 WIRE = os.environ.get("BENCH_WIRE", "depth")
 if os.environ.get("BENCH_PACKED") == "0":     # legacy switch
     WIRE = "f32"
-if BATCH > 1:
-    WIRE = "f32"                               # batched mode stays planar
+if BATCH > 1 and WIRE == "q16":
+    WIRE = "f32"                               # batched q16 not supported
+# Batched-integrate lane budgets (BATCH > 1): consecutive frames of a
+# sweep hit nearly the same cells, so the UNION of K frames' unique cells
+# / hit owners is ~1.3-1.7x ONE frame's, not Kx — the per-unique fixed
+# machinery (hash insert, dep-row + vstats gathers, cyl/vstats scatters:
+# ~90 of integrate's 150 ms, PERF.md §5) runs once per batch at near-
+# single-frame width.  Overflow counters guard the bound as always.
+BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 1 << 18))
+BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 1 << 18))
+BATCH_PAIRS = int(os.environ.get("BENCH_BATCH_PAIRS", 1 << 23))
+# Camera focal length for the depth wire (pixels).  Chosen so the sweep's
+# DENSITY matches the q16/f32 sweeps and the round-1 baseline workload:
+# ~95-105k distinct 1 mm cells per 640x480 frame, i.e. ~2 pixels per
+# voxel cell at the 0.4 m working distance — an oversampled metrology
+# scan (the cylinder statistics want multiple samples per cell).  Wider
+# optics (fx=500 -> ~230k cells/frame) need max_unique_per_frame and
+# max_refine_candidates one notch higher.
+FX = float(os.environ.get("BENCH_FX", 900.0))
+
+
+def bench_rays():
+    from hifi_fusion_tpu.utils.synthetic import camera_rays
+    return camera_rays(640, POINTS // 640, fx=FX, fy=FX)
 # Narrow dependant-width integrate variant (ops/integrate.py dep_width):
 # the pair machinery scales with the static per-cell fan-in bound; live
 # max(dep_count) is fetched after each refine (deps are frozen between
@@ -221,7 +243,7 @@ def make_frames(cfg, n_frames):
         from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
         assert POINTS % 640 == 0, "depth wire needs 640-wide frames"
         frames = make_depth_sweep(cfg, n_frames, width=640,
-                                  height=POINTS // 640,
+                                  height=POINTS // 640, srays=bench_rays(),
                                   seed=0, noise_sd=3e-4, camera_height=0.4)
     else:
         from hifi_fusion_tpu.utils.synthetic import make_sweep
@@ -286,8 +308,7 @@ def run_tpu(cfg, frames):
     t0 = time.monotonic()
     jrays = None
     if WIRE == "depth":
-        from hifi_fusion_tpu.utils.synthetic import camera_rays
-        jrays = jax.device_put(camera_rays(640, POINTS // 640))
+        jrays = jax.device_put(bench_rays())
         host = [(f.depth_q, f.rgb565, np.int32(f.count), f.pose)
                 for f in frames]
         per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
@@ -307,12 +328,12 @@ def run_tpu(cfg, frames):
     if BATCH > 1:
         # K-frame stacks for the batched integrate program; a sweep is
         # trimmed to whole batches (the measured pts/s covers exactly the
-        # frames integrated)
+        # frames integrated).  Depth stacks are (K,N) u16 + (K,) counts.
         hbat = [tuple(np.stack([host[i + j][k] for j in range(BATCH)])
-                      for k in range(4))
+                      for k in range(len(host[0])))
                 for i in range(0, len(host) - BATCH + 1, BATCH)]
     log(f"host staging: {time.monotonic()-t0:.1f}s (batch={BATCH}, "
-        f"packed={PACKED}, {per_frame_bytes/1e6:.1f} MB/frame)")
+        f"wire={WIRE}, {per_frame_bytes/1e6:.1f} MB/frame)")
 
 
     # steady-state refine passes see 10-100x fewer live candidates /
@@ -351,13 +372,36 @@ def run_tpu(cfg, frames):
 
         if BATCH > 1:
             n_frames = max((n_frames // BATCH) * BATCH, BATCH)
+            import queue
+            import threading
+            dq = queue.Queue(maxsize=2)
+
+            def stage_b():
+                for b in range(n_frames // BATCH):
+                    hb = hbat[b % len(hbat)]
+                    dq.put(tuple(jax.device_put(np.asarray(x))
+                                 for x in hb))
+
+            threading.Thread(target=stage_b, daemon=True,
+                             name="bench-stager").start()
+            bkw = dict(unique_lanes=min(BATCH_UNIQUE,
+                                        BATCH * cfg.max_unique_per_frame),
+                       hit_lanes=min(BATCH_HITS,
+                                     BATCH * cfg.max_hit_voxels),
+                       pair_lanes=min(BATCH_PAIRS,
+                                      BATCH * cfg.max_stream_pairs))
             done = refines = 0
             for b in range(n_frames // BATCH):
-                p, c, m_, t = hbat[b % len(hbat)]
-                kw = {} if dw is None else dict(dep_width=dw)
-                grid = integrate_frame(grid, jnp.asarray(p), jnp.asarray(c),
-                                       jnp.asarray(m_), jnp.asarray(t),
-                                       config=cfg, **kw)
+                df = dq.get()
+                kw = dict(bkw) if dw is None else dict(dep_width=dw, **bkw)
+                if WIRE == "depth":
+                    d_, rc, cnt, ps = df
+                    grid = integrate_frame(grid, d_, rc, cnt, ps,
+                                           config=cfg, rays=jrays, **kw)
+                else:
+                    p, c, m_, t = df
+                    grid = integrate_frame(grid, p, c, m_, t,
+                                           config=cfg, **kw)
                 done += BATCH
                 while done // REFINE_EVERY > refines:
                     grid = refine_policy(grid, first)
@@ -513,8 +557,7 @@ def run_verify(n_frames=4):
     # the packed frame, the oracle the IDENTICAL dequantized f32 points —
     # the parity claim covers the whole wire path
     if WIRE == "depth":
-        from hifi_fusion_tpu.utils.synthetic import camera_rays
-        jrays = jnp.asarray(camera_rays(640, POINTS // 640))
+        jrays = jnp.asarray(bench_rays())
         wire_frames = frames
     else:
         wire_frames = [pack_frame_q16(fr, cfg.max_points) for fr in frames]

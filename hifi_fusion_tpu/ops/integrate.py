@@ -122,27 +122,36 @@ def _unpack_inputs(points_cam, rgb, mask, quant, rays=None):
     """
     f32 = jnp.float32
     depth_valid = None
-    if points_cam.dtype == jnp.uint16 and points_cam.ndim == 1:
-        if rays is None:
-            raise ValueError("u16 depth ingest needs rays=(3,N) f32")
+    if points_cam.dtype == jnp.uint16 and rays is not None:
+        # z-depth image(s): (N,) single frame or (K,N) batched
         depth_valid = points_cam > 0
-        points_cam = points_cam.astype(f32)[None, :] * rays
+        if points_cam.ndim == 1:
+            points_cam = points_cam.astype(f32)[None, :] * rays
+        else:
+            points_cam = (points_cam.astype(f32)[:, None, :]
+                          * rays[None, :, :])            # (K,3,N)
     elif points_cam.dtype == jnp.uint16:
         if quant is None:
             raise ValueError("u16 points need quant=(2,3) [scale, offset]")
         points_cam = (points_cam.astype(f32) * quant[0][:, None]
                       + quant[1][:, None])
+    # rgb unpack: channel axis is 0 (single frame) or 1 (batched)
+    ax = 0 if points_cam.ndim == 2 else 1
     if rgb.dtype == jnp.uint32:
         rgb = jnp.stack([((rgb >> 16) & 0xFF).astype(f32),
                          ((rgb >> 8) & 0xFF).astype(f32),
-                         (rgb & 0xFF).astype(f32)], axis=0)
+                         (rgb & 0xFF).astype(f32)], axis=ax)
     elif rgb.dtype == jnp.uint16:
         rgb = jnp.stack([((rgb >> 11) & 0x1F).astype(f32) * 8.0,
                          ((rgb >> 5) & 0x3F).astype(f32) * 4.0,
-                         (rgb & 0x1F).astype(f32) * 8.0], axis=0)
+                         (rgb & 0x1F).astype(f32) * 8.0], axis=ax)
+    n = points_cam.shape[-1]
     if mask.ndim == 0:
-        n = points_cam.shape[-1]
         mask = jnp.arange(n, dtype=jnp.int32) < mask.astype(jnp.int32)
+    elif mask.dtype != jnp.bool_:
+        # batched count-prefix: (K,) counts -> (K,N) lane masks
+        mask = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                < mask.astype(jnp.int32)[:, None])
     if depth_valid is not None:
         mask = mask & depth_valid
     return points_cam, rgb, mask

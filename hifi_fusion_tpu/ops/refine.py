@@ -88,11 +88,16 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     i32 = jnp.int32
 
     # --- candidate compaction (sorted unique slots by construction) ------
+    # argsort(~mask) is a stable partition: the True lanes' indices land
+    # ascending in the prefix — identical to nonzero(size=U) but ~3x
+    # cheaper on v5e (nonzero's lowering measured 36.6 ms at C=4.19M,
+    # PERF.md §5; a 2-op sort streams at ~1.4 ns/elem/op).
     from ..grid import occupied_slots
     cand_mask = occupied_slots(grid, C) & ~grid.normal_found[:C]
     n_cand = jnp.sum(cand_mask.astype(i32))
-    (cand_slot,) = jnp.nonzero(cand_mask, size=U, fill_value=-1)
-    cand_ok = cand_slot >= 0
+    corder = jnp.argsort(~cand_mask, stable=True)[:U]
+    cand_ok = jnp.arange(U, dtype=i32) < jnp.minimum(n_cand, U)
+    cand_slot = jnp.where(cand_ok, corder.astype(i32), -1)
     cslot = jnp.clip(cand_slot, 0, C - 1)
     overflow_refine = grid.overflow_refine + jnp.maximum(n_cand - U, 0)
 

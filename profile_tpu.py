@@ -34,23 +34,31 @@ def main():
     cfg = bench_config()
     log(f"devices: {jax.devices()}")
     n_frames = int(os.environ.get("PROF_FRAMES", 8))
-    frames = make_sweep(cfg, n_frames, cfg.max_points, seed=0,
-                        noise_sd=3e-4, camera_height=0.4)
-    planar = [pad_frame(f, cfg.max_points) for f in frames]
-    pts = [jnp.asarray(f.points_cam) for f in planar]
-    rgb = [jnp.asarray(f.rgb) for f in planar]
-    mask = [jnp.asarray(f.mask) for f in planar]
-    pose = [jnp.asarray(f.pose) for f in planar]
+    # the bench steady-state ingest: depth wire + narrow dep-width variant
+    from bench import STEADY_DW, bench_rays
+    from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
+    dframes = make_depth_sweep(cfg, n_frames, 640, cfg.max_points // 640,
+                               srays=bench_rays(), seed=0,
+                               noise_sd=3e-4, camera_height=0.4)
+    jrays = jnp.asarray(bench_rays())
+    depth = [jnp.asarray(f.depth_q) for f in dframes]
+    rgb5 = [jnp.asarray(f.rgb565) for f in dframes]
+    cnt = [jnp.asarray(np.int32(f.count)) for f in dframes]
+    pose = [jnp.asarray(f.pose) for f in dframes]
+    dkw = {} if STEADY_DW is None else dict(dep_width=STEADY_DW)
 
     grid = make_grid(cfg)
 
     def fetch(g):
         return int(np.asarray(g.frames))
 
+    def istep(g, i, **kw):
+        return integrate_frame(g, depth[i], rgb5[i], cnt[i], pose[i],
+                               config=cfg, rays=jrays, **kw)
+
     # compile both programs
     t0 = time.monotonic()
-    grid = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
-                           config=cfg)
+    grid = istep(grid, 0, **dkw)
     fetch(grid)
     log(f"integrate compile+run: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
@@ -61,8 +69,7 @@ def main():
     # steady state: integrate all frames
     t0 = time.monotonic()
     for i in range(1, n_frames):
-        grid = integrate_frame(grid, pts[i], rgb[i], mask[i], pose[i],
-                               config=cfg)
+        grid = istep(grid, i, **dkw)
     fetch(grid)
     dt = time.monotonic() - t0
     log(f"integrate steady: {dt/(n_frames-1)*1000:.1f} ms/frame "
@@ -89,11 +96,19 @@ def main():
     # integrate AFTER normals exist (dependant stream now active)
     t0 = time.monotonic()
     for i in range(n_frames):
-        grid = integrate_frame(grid, pts[i], rgb[i], mask[i], pose[i],
-                               config=cfg)
+        grid = istep(grid, i, **dkw)
     fetch(grid)
     dt = time.monotonic() - t0
-    log(f"integrate w/ deps: {dt/n_frames*1000:.1f} ms/frame "
+    log(f"integrate w/ deps (dep_width={STEADY_DW}): "
+        f"{dt/n_frames*1000:.1f} ms/frame "
+        f"({n_frames*cfg.max_points/dt/1e6:.1f} Mpts/s)")
+    # A/B: the full-width variant on the same state
+    t0 = time.monotonic()
+    for i in range(n_frames):
+        grid = istep(grid, i)
+    fetch(grid)
+    dt = time.monotonic() - t0
+    log(f"integrate w/ deps (full width): {dt/n_frames*1000:.1f} ms/frame "
         f"({n_frames*cfg.max_points/dt/1e6:.1f} Mpts/s)")
     log(str(grid_metrics(grid, cfg)))
 
@@ -105,8 +120,7 @@ def main():
         from hifi_fusion_tpu.ops.extract import extract
         base = os.environ["PROF_TRACE"]
         with jax.profiler.trace(os.path.join(base, "integrate")):
-            g2 = integrate_frame(grid, pts[0], rgb[0], mask[0], pose[0],
-                                 config=cfg)
+            g2 = istep(grid, 0, **dkw)
             fetch(g2)
         with jax.profiler.trace(os.path.join(base, "refine_steady")):
             g2 = refine_pass(g2, config=cfg, **STEADY_BUDGETS)

@@ -121,3 +121,50 @@ def test_batched_budget_overrides_and_overflow():
                            active_lanes=128)
     m = grid_metrics(tiny, CFG)
     assert m["overflow_active"] > 0
+
+
+def test_batched_depth_wire_matches_sequential_depth():
+    """Batched DEPTH-wire ingest ((K,N) u16 + (K,) counts + shared rays)
+    must be equivalent to per-frame depth ingest — the bench's production
+    combination (depth wire + K-frame batching + narrowed budgets)."""
+    from hifi_fusion_tpu.utils.synthetic import camera_rays, make_depth_sweep
+    dcfg = small_test_config(z_clip=(0.05, 0.99), capacity_log2=16,
+                             max_probes=64)
+    rays = camera_rays(64, 48, fx=50.0)
+    jr = jnp.asarray(rays)
+    dfs = make_depth_sweep(dcfg, 4, width=64, height=48, seed=9, srays=rays)
+
+    seq = make_grid(dcfg)
+    for f in dfs:
+        seq = integrate_frame(seq, jnp.asarray(f.depth_q),
+                              jnp.asarray(f.rgb565),
+                              jnp.asarray(np.int32(f.count)),
+                              jnp.asarray(f.pose), config=dcfg, rays=jr)
+    seq = refine_pass(seq, config=dcfg)
+
+    bat = make_grid(dcfg)
+    bat = integrate_frame(
+        bat, jnp.asarray(np.stack([f.depth_q for f in dfs])),
+        jnp.asarray(np.stack([f.rgb565 for f in dfs])),
+        jnp.asarray(np.asarray([f.count for f in dfs], np.int32)),
+        jnp.asarray(np.stack([f.pose for f in dfs])),
+        config=dcfg, rays=jr, dep_width=8,
+        unique_lanes=4096, hit_lanes=4096, pair_lanes=1 << 15)
+    bat = refine_pass(bat, config=dcfg)
+
+    ms, mb = grid_metrics(seq, dcfg), grid_metrics(bat, dcfg)
+    for k in ("occupied_voxels", "normals_found", "frames",
+              "buffered_points"):
+        assert ms[k] == mb[k], (k, ms[k], mb[k])
+    for k, v in mb.items():
+        if k.startswith("overflow"):
+            assert v == 0, (k, v)
+    a = to_host(extract(seq, config=dcfg))
+    b = to_host(extract(bat, config=dcfg))
+    assert a["cell"].shape == b["cell"].shape
+    for k in a:
+        if a[k].dtype.kind == "i":
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, atol=2e-6,
+                                       err_msg=k)

@@ -80,16 +80,31 @@ def main():
             f"{time.monotonic()-t0:.1f}s")
     from bench import BATCH
     if BATCH > 1:
-        t0 = time.monotonic()
-        grid = integrate_frame(
-            grid, jnp.zeros((BATCH, 3, N), jnp.float32),
-            jnp.zeros((BATCH, 3, N), jnp.float32),
-            jnp.zeros((BATCH, N), bool),
-            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (BATCH, 4, 4)),
-            config=cfg)
-        np.asarray(grid.frames)
-        log(f"integrate_frame@bench batched K={BATCH}: "
-            f"{time.monotonic()-t0:.1f}s")
+        from bench import BATCH_UNIQUE, BATCH_HITS, BATCH_PAIRS, WIRE
+        bkw = dict(unique_lanes=min(BATCH_UNIQUE,
+                                    BATCH * cfg.max_unique_per_frame),
+                   hit_lanes=min(BATCH_HITS, BATCH * cfg.max_hit_voxels),
+                   pair_lanes=min(BATCH_PAIRS,
+                                  BATCH * cfg.max_stream_pairs))
+        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                 (BATCH, 4, 4))
+        for dwv in dvariants:
+            kw = dict(bkw) if dwv is None else dict(dep_width=dwv, **bkw)
+            t0 = time.monotonic()
+            if WIRE == "depth":
+                grid = integrate_frame(
+                    grid, jnp.zeros((BATCH, N), jnp.uint16),
+                    jnp.zeros((BATCH, N), jnp.uint16),
+                    jnp.zeros((BATCH,), jnp.int32), poses,
+                    config=cfg, rays=jrays, **kw)
+            else:
+                grid = integrate_frame(
+                    grid, jnp.zeros((BATCH, 3, N), jnp.float32),
+                    jnp.zeros((BATCH, 3, N), jnp.float32),
+                    jnp.zeros((BATCH, N), bool), poses, config=cfg, **kw)
+            np.asarray(grid.frames)
+            log(f"integrate_frame@bench batched K={BATCH} wire={WIRE} "
+                f"dep_width={dwv}: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     grid = refine_pass(grid, config=cfg)
     np.asarray(grid.frames)
