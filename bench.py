@@ -64,9 +64,14 @@ REFINE_EVERY = 8
 BATCH = int(os.environ.get("BENCH_BATCH", 1))
 
 # steady-state refine budget variants + extract cap (see run_tpu's
-# refine_policy; warm_cache.py warms exactly these variants)
+# refine_policy; warm_cache.py warms exactly these variants).  MID covers
+# the early sweep (each cadence brings ~30-100k new cells until the
+# surface is mostly normal-found), where escalating all the way to the
+# full worst-case budgets costs 2-4 s/pass (trace, PERF.md §5).
 STEADY_BUDGETS = dict(cand_lanes=1 << 15, buf_lanes=1 << 19,
                       replay_runs=1 << 17, replay_lanes=1 << 19)
+MID_BUDGETS = dict(cand_lanes=1 << 17, buf_lanes=1 << 21,
+                   replay_runs=1 << 19, replay_lanes=1 << 22)
 EXTRACT_CAP = 1 << 20
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
@@ -344,15 +349,30 @@ def run_tpu(cfg, frames):
     # exceed the steady budgets escalates to the (already-compiled) full
     # variant.  Overflow counters still verify nothing was dropped.
     def refine_policy(grid, first):
+        t0 = time.monotonic()
         if first:
-            return refine_pass(grid, config=cfg)
+            grid = refine_pass(grid, config=cfg)
+            np.asarray(grid.frames)
+            log(f"refine first(full): {time.monotonic()-t0:.2f}s")
+            return grid
         qc = quick_counts(grid, cfg)
-        fits = (qc["refine_candidates"] <= STEADY_BUDGETS["cand_lanes"]
-                and qc["buffered_points"] <= STEADY_BUDGETS["replay_runs"])
-        if fits:
-            return refine_pass(grid, config=cfg, **STEADY_BUDGETS)
-        log(f"refine escalated to full budgets: {qc}")
-        return refine_pass(grid, config=cfg)
+        tier = "full"
+        kw = {}
+        for name, b in (("steady", STEADY_BUDGETS), ("mid", MID_BUDGETS)):
+            if (qc["refine_candidates"] <= b["cand_lanes"]
+                    and qc["buffered_points"] <= min(b["replay_runs"],
+                                                     b["buf_lanes"])):
+                tier, kw = name, b
+                break
+        grid = refine_pass(grid, config=cfg, **kw)
+        if os.environ.get("BENCH_TIMING"):
+            np.asarray(grid.frames)
+            log(f"refine {tier}: {time.monotonic()-t0:.2f}s  "
+                f"(cand={qc['refine_candidates']} "
+                f"buf={qc['buffered_points']})")
+        elif tier == "full":
+            log(f"refine escalated to full budgets: {qc}")
+        return grid
 
     def run_once(n_frames, tag):
         grid = make_grid(cfg)

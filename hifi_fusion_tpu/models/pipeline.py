@@ -61,6 +61,24 @@ def fusion_step(grid: GridState, points_cam, rgb, mask, pose,
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
+def fusion_step_depth(grid: GridState, depth_q, rgb565, count, pose, rays,
+                      *, config: FusionConfig) -> GridState:
+    """One sensor-native depth frame (u16 z-depth + rgb565 + count prefix;
+    see ops/integrate._unpack_inputs): unprojected on device against the
+    resident ``rays`` table, then the same integrate+cadenced-refine step
+    as ``fusion_step``."""
+    grid = integrate_frame_impl(grid, depth_q, rgb565, count, pose,
+                                config=config, rays=rays)
+    if config.refine_every > 0:
+        grid = jax.lax.cond(
+            (grid.frames % config.refine_every) == 0,
+            lambda g: refine_pass_impl(g, config=config),
+            lambda g: g,
+            grid)
+    return grid
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
 def fusion_sweep(grid: GridState, points_cam, rgb, mask, poses,
                  *, config: FusionConfig) -> GridState:
     """Scan a stacked (F, ...) sweep entirely on-device."""
@@ -86,6 +104,11 @@ class FusionPipeline:
              ) -> GridState:
         return fusion_step(grid, points_cam, rgb, mask, pose,
                            config=self.config)
+
+    def step_depth(self, grid: GridState, depth_q, rgb565, count, pose,
+                   rays) -> GridState:
+        return fusion_step_depth(grid, depth_q, rgb565, count, pose, rays,
+                                 config=self.config)
 
     def integrate(self, grid: GridState, points_cam, rgb, mask, pose
                   ) -> GridState:

@@ -49,8 +49,9 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing, pallas_kernels
-from .scatter import (scatter_add, scatter_set, segment_ends, segment_fill,
-                      segment_reduce, segment_starts, segment_sums)
+from .scatter import (end_positions, scatter_add, scatter_set, segment_ends,
+                      segment_fill, segment_reduce, segment_starts,
+                      segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -281,10 +282,14 @@ def integrate_frame_impl(grid: GridState,
     world_s = jnp.stack([wx[:NA], wy[:NA], wz[:NA]], axis=0)
     svalid = sid != _BIG
     starts = segment_starts(sid, svalid)
-    ends = segment_ends(sid, svalid)
     seg = jnp.cumsum(starts.astype(i32)) - 1
     n_u = jnp.sum(starts.astype(i32))
-    overflow_unique = grid.overflow_unique + jnp.maximum(n_u - U, 0)
+    n_sv = jnp.minimum(n_act, NA)
+    # end_positions cannot derive the LAST in-budget segment's end when
+    # segments overflow the budget (its successor's start lies past the
+    # compaction window) — drop that segment too, counted, never corrupt
+    u_lim = jnp.where(n_u > U, U - 1, U)
+    overflow_unique = grid.overflow_unique + jnp.maximum(n_u - u_lim, 0)
 
     # ---- compact unique cell ids (prefix-packed, ascending) -------------
     uorder = jnp.argsort(~starts, stable=True)[:U]
@@ -311,7 +316,7 @@ def integrate_frame_impl(grid: GridState,
 
     slot_fill = segment_fill(_to_points(uslot, i32), starts)
     nf0_fill = segment_fill(_to_points(unf0, jnp.bool_), starts)
-    in_budget = svalid & (seg < U)
+    in_budget = svalid & (seg < u_lim)
     placed_s = in_budget & (slot_fill >= 0)
     slot_s = jnp.where(placed_s, slot_fill, -1)
     nf0_s = nf0_fill & placed_s
@@ -324,7 +329,7 @@ def integrate_frame_impl(grid: GridState,
         rgb_rows = jnp.zeros((3, NA), f32)
     vals4 = jnp.concatenate([rgb_rows, pmask[None, :]], axis=0)   # (4,NA)
     sum4 = segment_sums(vals4, starts)
-    eorder = jnp.argsort(~ends, stable=True)[:U]
+    eorder = end_positions(uorder.astype(i32), n_u, n_sv)
     esum4 = sum4[:, eorder]          # (4,U) aligned with uids/uslot
 
     # ---- grid writes go straight out in uids order: scatter only needs
@@ -457,7 +462,6 @@ def integrate_frame_impl(grid: GridState,
     px, py, pz = px[:P], py[:P], pz[:P]
     pvalid = powner != _BIG
     pstarts = segment_starts(powner, pvalid)
-    pends = segment_ends(powner, pvalid)
 
     # owner center/normal fetched at run STARTS only (<= UH random
     # gathers), scattered to the start lanes and segment-filled across
@@ -469,8 +473,10 @@ def integrate_frame_impl(grid: GridState,
                                        offset)             # (3,UH)
     so_nrows = grid.normal[oso[:, None] * 3
                            + jnp.arange(3, dtype=i32)[None, :]]  # (UH,3)
-    n_over = jnp.sum(pstarts.astype(i32)) - UH
-    overflow_hits = (grid.overflow_hits + jnp.maximum(n_over, 0)
+    n_pstarts = jnp.sum(pstarts.astype(i32))
+    uh_lim = jnp.where(n_pstarts > UH, UH - 1, n_pstarts)
+    overflow_hits = (grid.overflow_hits
+                     + jnp.maximum(n_pstarts - uh_lim, 0)
                      + jnp.maximum(n_pair - P, 0))
     if DW < D:
         overflow_hits = overflow_hits + n_wide
@@ -501,10 +507,13 @@ def integrate_frame_impl(grid: GridState,
          jnp.ones((1, P), f32)], axis=0), 0.0)
     hsum9 = segment_sums(vals9, pstarts)
 
-    # run-END compaction, then ONE 9-component unique-scatter
-    eorder2 = jnp.argsort(~pends, stable=True)[:UH]
+    # run-END compaction, then ONE 9-component unique-scatter; end
+    # positions derive from the start positions (ops/scatter.py
+    # end_positions) instead of a second full-width partition sort
+    eorder2 = end_positions(sorder.astype(i32), n_pstarts,
+                            jnp.sum(pvalid.astype(i32)))
     e_owner = powner[eorder2]
-    e_ok = pends[eorder2]
+    e_ok = jnp.arange(UH, dtype=i32) < uh_lim
     e9 = hsum9[:, eorder2]                                 # (9,UH)
     cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
                             [e9[r] for r in range(9)], C)

@@ -42,8 +42,8 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing
 from .eigen33 import smallest_eigenpair_sym
-from .scatter import (scatter_add, scatter_set, segment_ends, segment_fill,
-                      segment_starts, segment_sums)
+from .scatter import (end_positions, scatter_add, scatter_set, segment_ends,
+                      segment_fill, segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -270,11 +270,16 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         num_keys=1, is_stable=True)
     bvalid = bslot_s != _BIG
     bstarts = segment_starts(bslot_s, bvalid)
-    bends = segment_ends(bslot_s, bvalid)
+    n_bruns = jnp.sum(bstarts.astype(i32))
     run_order = jnp.argsort(~bstarts, stable=True)[:RB]   # start positions
-    rend_order = jnp.argsort(~bends, stable=True)[:RB]    # end positions
+    # end positions derive from the starts (ops/scatter.end_positions);
+    # when runs overflow RB the last in-budget run's end is undefined —
+    # drop it too (it already lands in the dropped-run overflow path)
+    rend_order = end_positions(run_order.astype(i32), n_bruns,
+                               jnp.sum(bvalid.astype(i32)))
+    rb_lim = jnp.where(n_bruns > RB, RB - 1, n_bruns)
     run_slot = bslot_s[run_order]
-    run_ok = bstarts[run_order]
+    run_ok = bstarts[run_order] & (jnp.arange(RB, dtype=i32) < rb_lim)
     run_cnt = jnp.where(run_ok, rend_order - run_order + 1, 0)
     zc = jnp.zeros((C + config.scatter_tail,), i32)
     bufstart_arr = scatter_set(zc, run_slot, run_ok, [run_order], C)
@@ -284,7 +289,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # rank>=RB flags each dropped run's start lane, scattered per slot and
     # gathered at link-run starts below.
     brank = jnp.cumsum(bstarts.astype(i32)) - 1
-    drop_start = bstarts & (brank >= RB)
+    drop_start = bstarts & (brank >= rb_lim)
     # compact dropped-run start lanes to an RB-lane prefix so the scatter
     # batch fits the shared scatter tail (BL can exceed it at bench scale);
     # dropped runs past the compaction window — reachable only when more

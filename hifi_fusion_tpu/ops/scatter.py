@@ -108,6 +108,21 @@ def segment_starts(sorted_keys: jax.Array, valid: jax.Array) -> jax.Array:
     return valid & (sorted_keys != prev)
 
 
+def end_positions(start_pos: jax.Array, n_seg: jax.Array,
+                  n_valid: jax.Array) -> jax.Array:
+    """Segment-END lane positions derived from the ascending START
+    positions — segment i ends where segment i+1 starts, minus one; the
+    last segment ends at the last valid lane.  Replaces a second
+    full-width ``argsort(~ends)`` partition (measured 13 ms at 8.4M pair
+    lanes) with O(U) arithmetic.  Lanes >= n_seg return in-bounds garbage
+    (callers mask them, exactly as with the argsort form).
+    """
+    lane = jnp.arange(start_pos.shape[0], dtype=jnp.int32)
+    nxt = jnp.concatenate([start_pos[1:], start_pos[-1:]])
+    last = jnp.maximum(n_valid - 1, 0)
+    return jnp.clip(jnp.where(lane < n_seg - 1, nxt - 1, last), 0, None)
+
+
 def segment_sums(values: jax.Array, starts: jax.Array) -> jax.Array:
     """Segmented running sums along the last axis.
 

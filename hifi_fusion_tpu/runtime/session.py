@@ -89,6 +89,7 @@ class FusionSession:
         self._busy = False
 
         self._grid: GridState = self.pipeline.init()
+        self._jrays = None          # device-resident rays (depth ingest)
         self.timers = StageTimers()
         self._frames_in = 0
         self._frames_integrated = 0
@@ -247,6 +248,39 @@ class FusionSession:
         self._wake.set()
         return True
 
+    def push_depth_frame(self, depth_q: np.ndarray, rgb565: np.ndarray,
+                         pose: np.ndarray, rays: np.ndarray = None) -> bool:
+        """Sensor-native ingest: u16 z-depth image + rgb565 + camera pose.
+
+        ``rays`` is the scaled pinhole ray table (3,N) f32
+        (utils/synthetic.camera_rays); it is uploaded ONCE on first use
+        and must stay fixed for the session (one camera).  4 B/pixel on
+        the wire vs 25 planar — the production live-capture path.
+        Single-device sessions only (the sharded pipeline routes planar
+        world-space points; unproject on host for that path).
+        """
+        self._frames_in += 1
+        if not self._started:
+            return False
+        if rays is not None and self._jrays is None:
+            import jax.numpy as jnp
+            self._jrays = jnp.asarray(np.asarray(rays, np.float32))
+        if self._jrays is None:
+            raise ValueError("push_depth_frame needs rays on first call")
+        if not hasattr(self.pipeline, "step_depth"):
+            raise NotImplementedError(
+                "depth ingest is single-device only; unproject on host "
+                "and use push_frame for sharded sessions")
+        with self._qlock:
+            if len(self._queue) == self._queue.maxlen:
+                self._frames_dropped += 1
+            self._queue.append((("depth",
+                                 np.asarray(depth_q, np.uint16),
+                                 np.asarray(rgb565, np.uint16)),
+                                np.asarray(pose)))
+        self._wake.set()
+        return True
+
     def run_source(self, source: Source, auto_start: bool = True) -> None:
         """Feed an entire source through the session (replay mode)."""
         if auto_start:
@@ -273,6 +307,25 @@ class FusionSession:
                 continue
             frame, pose = item
             try:
+                if isinstance(frame, tuple) and frame[0] == "depth":
+                    # sensor-native path: no host decode, the device
+                    # unprojects against the resident ray table
+                    _, dq, r565 = frame
+                    n = min(dq.shape[0], cfg.max_points)
+                    with self.timers.stage("device_step"), annotate("step"):
+                        with self._glock:
+                            self._grid = self.pipeline.step_depth(
+                                self._grid, jnp.asarray(dq[:n]),
+                                jnp.asarray(r565[:n]),
+                                jnp.asarray(np.int32(n)),
+                                jnp.asarray(pose, jnp.float32),
+                                self._jrays)
+                    now = time.monotonic()
+                    if self._t_first is None:
+                        self._t_first = now
+                    self._t_last = now
+                    self._frames_integrated += 1
+                    continue
                 with self.timers.stage("decode"), annotate("decode"):
                     xyz, rgb = decode_frame(
                         frame, blue_shift_bug=cfg.bug_compat_blue_shift)

@@ -81,17 +81,16 @@ def main():
     fetch(grid)
     log(f"refine steady: {(time.monotonic()-t0)*1000:.1f} ms")
 
-    # second refine with the steady-state replay budget (bench.py's
-    # STEADY_REPLAY): most normals found, replay near-empty
+    # the bench's steady-state refine variant (full warming covers it)
+    from bench import STEADY_BUDGETS as _SB
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
+    grid = refine_pass(grid, config=cfg, **_SB)
     fetch(grid)
-    log(f"refine steady small-replay (incl compile): "
-        f"{(time.monotonic()-t0)*1000:.1f} ms")
+    log(f"refine steady-budgets #1: {(time.monotonic()-t0)*1000:.1f} ms")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, replay_lanes=1 << 19)
+    grid = refine_pass(grid, config=cfg, **_SB)
     fetch(grid)
-    log(f"refine steady small-replay #2: {(time.monotonic()-t0)*1000:.1f} ms")
+    log(f"refine steady-budgets #2: {(time.monotonic()-t0)*1000:.1f} ms")
 
     # integrate AFTER normals exist (dependant stream now active)
     t0 = time.monotonic()
@@ -124,6 +123,9 @@ def main():
             fetch(g2)
         with jax.profiler.trace(os.path.join(base, "refine_steady")):
             g2 = refine_pass(g2, config=cfg, **STEADY_BUDGETS)
+            fetch(g2)
+        with jax.profiler.trace(os.path.join(base, "refine_full")):
+            g2 = refine_pass(g2, config=cfg)
             fetch(g2)
         with jax.profiler.trace(os.path.join(base, "extract")):
             r = extract(g2, config=cfg, cap=EXTRACT_CAP)

@@ -177,3 +177,32 @@ def test_oversized_frame_truncation_is_counted(tmp_path):
         assert m["frames_integrated"] == 1
         assert m["frames_truncated"] == 1
         assert m["points_truncated"] == 1000 - 256
+
+
+def test_session_depth_ingest(tmp_path):
+    """Sensor-native session path: push_depth_frame -> process exports a
+    cloud equal to what the planar path would produce (the device
+    unprojection is bit-reproducible; see tests/test_depth_ingest.py)."""
+    import jax.numpy as jnp
+    from hifi_fusion_tpu.config import small_test_config
+    from hifi_fusion_tpu.runtime.session import FusionSession
+    from hifi_fusion_tpu.utils.synthetic import camera_rays, make_depth_sweep
+
+    cfg = small_test_config(z_clip=(0.05, 0.99), capacity_log2=16,
+                            max_probes=64, refine_every=2)
+    rays = camera_rays(64, 48, fx=50.0)
+    frames = make_depth_sweep(cfg, 4, width=64, height=48, seed=31,
+                              srays=rays)
+    with FusionSession(cfg, output_dir=str(tmp_path)) as sess:
+        sess.start()
+        for fr in frames:
+            assert sess.push_depth_frame(fr.depth_q, fr.rgb565, fr.pose,
+                                         rays=rays)
+        assert sess.drain()
+        m = sess.metrics()
+        assert m["frames_integrated"] == 4
+        result = sess.process()
+    assert result["n_points"] > 50
+    import os
+    assert os.path.exists(result["cloud"])
+    assert os.path.exists(result["metadata"])

@@ -110,10 +110,14 @@ def main():
     np.asarray(grid.frames)
     log(f"refine_pass@bench: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    from bench import STEADY_BUDGETS, EXTRACT_CAP
+    from bench import STEADY_BUDGETS, MID_BUDGETS, EXTRACT_CAP
     grid = refine_pass(grid, config=cfg, **STEADY_BUDGETS)
     np.asarray(grid.frames)
     log(f"refine_pass@bench steady-budgets: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg, **MID_BUDGETS)
+    np.asarray(grid.frames)
+    log(f"refine_pass@bench mid-budgets: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     r = extract(grid, config=cfg, cap=EXTRACT_CAP)
     np.asarray(r.n_valid)
