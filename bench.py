@@ -348,13 +348,15 @@ def run_tpu(cfg, frames):
     # against quick_counts before each pass; any pass whose live counts
     # exceed the steady budgets escalates to the (already-compiled) full
     # variant.  Overflow counters still verify nothing was dropped.
-    def refine_policy(grid, first):
+    def refine_policy(grid, first=False):
+        # Tier-select by live counts.  The bench schedules refines every
+        # 4 frames during the initial surface fill (below), so candidate
+        # counts stay inside the MID tier and the UNCONSTRAINED full
+        # program is never touched — on the axon service, first-touch
+        # LOADING of a ~30 MB cached executable was measured at 60-500 s
+        # per process, so the set of programs a run touches is itself a
+        # budget (PERF.md §2).
         t0 = time.monotonic()
-        if first:
-            grid = refine_pass(grid, config=cfg)
-            np.asarray(grid.frames)
-            log(f"refine first(full): {time.monotonic()-t0:.2f}s")
-            return grid
         qc = quick_counts(grid, cfg)
         tier = "full"
         kw = {}
@@ -374,9 +376,16 @@ def run_tpu(cfg, frames):
             log(f"refine escalated to full budgets: {qc}")
         return grid
 
+    def refine_due(done, refines):
+        """Refine cadence: every 4 frames while the surface fills (first
+        2 cadences), then every REFINE_EVERY."""
+        early = [4, 8] if REFINE_EVERY >= 8 else []
+        marks = [m for m in early if m <= done]
+        marks += list(range(REFINE_EVERY * 2, done + 1, REFINE_EVERY))
+        return len([m for m in marks if m <= done]) > refines
+
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
-        first = True
         # dependant-width variant: exact by construction — dep_count only
         # changes inside refine passes, so the post-refine fetch always
         # sees the counts the next REFINE_EVERY integrates will read
@@ -411,8 +420,11 @@ def run_tpu(cfg, frames):
                        pair_lanes=min(BATCH_PAIRS,
                                       BATCH * cfg.max_stream_pairs))
             done = refines = 0
+            t_starv = 0.0
             for b in range(n_frames // BATCH):
+                tg = time.monotonic()
                 df = dq.get()
+                t_starv += time.monotonic() - tg
                 kw = dict(bkw) if dw is None else dict(dep_width=dw, **bkw)
                 if WIRE == "depth":
                     d_, rc, cnt, ps = df
@@ -423,9 +435,8 @@ def run_tpu(cfg, frames):
                     grid = integrate_frame(grid, p, c, m_, t,
                                            config=cfg, **kw)
                 done += BATCH
-                while done // REFINE_EVERY > refines:
-                    grid = refine_policy(grid, first)
-                    first = False
+                while refine_due(done, refines):
+                    grid = refine_policy(grid)
                     refines += 1
                     dw = post_refine_dw()
         else:
@@ -447,8 +458,12 @@ def run_tpu(cfg, frames):
             stager = threading.Thread(target=stage, daemon=True,
                                       name="bench-stager")
             stager.start()
+            refines = 0
+            t_starv = 0.0
             for i in range(n_frames):
+                tg = time.monotonic()
                 df = dq.get()
+                t_starv += time.monotonic() - tg
                 kw = {} if dw is None else dict(dep_width=dw)
                 if WIRE == "depth":
                     d_, rc, cnt, ps = df
@@ -462,11 +477,11 @@ def run_tpu(cfg, frames):
                     p, c, m_, t = df
                     grid = integrate_frame(grid, p, c, m_, t, config=cfg,
                                            **kw)
-                if (i + 1) % REFINE_EVERY == 0:
-                    grid = refine_policy(grid, first)
-                    first = False
+                while refine_due(i + 1, refines):
+                    grid = refine_policy(grid)
+                    refines += 1
                     dw = post_refine_dw()
-        grid = refine_policy(grid, first)
+        grid = refine_policy(grid)
         result = extract(grid, config=cfg, cap=EXTRACT_CAP)
         n_vox = int(fetch(result.n_valid))
         assert n_vox <= EXTRACT_CAP, f"extract cap exceeded: {n_vox}"
@@ -476,7 +491,7 @@ def run_tpu(cfg, frames):
         log(f"tpu {tag}: {n_frames} frames in {dt:.2f}s  "
             f"{n_frames/dt:.1f} frames/s  "
             f"{n_frames*POINTS/dt/1e6:.1f} Mpts/s  -> {n_vox} voxels  "
-            f"overflows={ovf}")
+            f"stager starvation {t_starv:.2f}s  overflows={ovf}")
         # a nonzero overflow means points were silently dropped — the
         # throughput would not describe the full workload, so it must
         # never be recorded as the measured result (advisor, round 1)

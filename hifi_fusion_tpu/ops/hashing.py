@@ -158,7 +158,7 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         nxt = jnp.concatenate([word[1:], jnp.full((1,), _BIG, word.dtype)])
         starts = contend & (word != prev)
         ends = contend & (word != nxt)
-        orbits = segment_reduce(bit, starts, jnp.bitwise_or)
+        orbits = segment_reduce(bit, starts, jnp.bitwise_or, kind="or")
         old = claims[jnp.clip(word, 0, W - 1)]
         # pad claims with a U-lane scratch tail for masked lanes
         widx = jnp.where(ends, word, W + jnp.arange(U, dtype=i32))

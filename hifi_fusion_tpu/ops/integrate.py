@@ -349,7 +349,7 @@ def integrate_frame_impl(grid: GridState,
                      u32(1) << (uids & 31).astype(u32), u32(0))
     wst = segment_starts(word, uplaced)
     wen = segment_ends(word, uplaced)
-    orscan = segment_reduce(bitv, wst, jnp.bitwise_or)
+    orscan = segment_reduce(bitv, wst, jnp.bitwise_or, kind="or")
     W = config.n_occ_words
     old_bits = grid.occ_bits[jnp.clip(word, 0, W - 1)]
     occ_bits = scatter_set(grid.occ_bits, word, wen,
