@@ -80,6 +80,11 @@ def block_segscan(vals: jax.Array,      # (k, nb, BS)
     exactly as scatter.segment_reduce's ``ladder(vb, fb, BS)`` would.
     ``nb`` is padded up to a multiple of 8 internally."""
     k, nb, bs = vals.shape
+    # Mosaic's dynamic_rotate handles 32-bit vectors only — run narrow
+    # value dtypes (bool channels like normal_found fills) through i32
+    vdtype = vals.dtype
+    if vals.dtype.itemsize < 4:
+        vals = vals.astype(jnp.int32)
     nbp = -(-nb // _ROWS) * _ROWS
     if nbp != nb:
         vals = jnp.pad(vals, ((0, 0), (0, nbp - nb), (0, 0)))
@@ -106,7 +111,11 @@ def block_segscan(vals: jax.Array,      # (k, nb, BS)
         ],
         interpret=interpret,
     )(vals, flags)
-    return out_v[:, :nb], out_f[:nb]
+    out_v = out_v[:, :nb]
+    if out_v.dtype != vdtype:
+        out_v = (out_v != 0) if vdtype == jnp.bool_ \
+            else out_v.astype(vdtype)
+    return out_v, out_f[:nb]
 
 
 def available() -> bool:
