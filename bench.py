@@ -55,13 +55,13 @@ BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
 REFINE_EVERY = 8
 # K frames per integrate dispatch (ops/integrate.py batched mode): the
 # per-dispatch fixed machinery (hash insert, unique compaction, dep-row
-# gather, full-array scatter copies) runs once per BATCH.  Measured
-# 2026-08-17 on TPU v5e: K=8 is SLOWER end-to-end (0.586 vs 0.765
-# Mpts/s at K=1) — batching serializes ~42 MB of host->device staging
-# per dispatch against the 37 MB/s tunnel, where the K=1 per-frame
-# transfers fully overlap compute.  Default stays 1; K>1 remains
-# available for hosts with real PCIe bandwidth.
-BATCH = int(os.environ.get("BENCH_BATCH", 1))
+# gather, full-array scatter copies) runs once per BATCH at near-single-
+# frame width (union uniques of 4 consecutive frames ~= 1.3-1.7x one
+# frame's).  With the f32 wire, batching lost (42 MB stacks vs the
+# 37 MB/s tunnel); with the depth wire (1.23 MB/frame) K=4 stacks stage
+# in ~130 ms against ~300 ms compute and batching wins: measured
+# 2026-08-18 on v5e, K=4 depth = 1.30 Mpts/s vs K=1 depth = 0.99.
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
 
 # steady-state refine budget variants + extract cap (see run_tpu's
 # refine_policy; warm_cache.py warms exactly these variants).  MID covers
@@ -399,6 +399,12 @@ def run_tpu(cfg, frames):
             return STEADY_DW if (qc["max_dependants_used"]
                                  <= STEADY_DW) else None
 
+        # BENCH_TIMING=2: barrier after every integrate dispatch to split
+        # wall time into integrate/refine/staging shares.  The barriers
+        # serialize the staging overlap, so totals are diagnostic only.
+        deep_timing = os.environ.get("BENCH_TIMING") == "2"
+        t_int = 0.0
+
         if BATCH > 1:
             n_frames = max((n_frames // BATCH) * BATCH, BATCH)
             import queue
@@ -426,6 +432,7 @@ def run_tpu(cfg, frames):
                 df = dq.get()
                 t_starv += time.monotonic() - tg
                 kw = dict(bkw) if dw is None else dict(dep_width=dw, **bkw)
+                ti = time.monotonic()
                 if WIRE == "depth":
                     d_, rc, cnt, ps = df
                     grid = integrate_frame(grid, d_, rc, cnt, ps,
@@ -434,6 +441,9 @@ def run_tpu(cfg, frames):
                     p, c, m_, t = df
                     grid = integrate_frame(grid, p, c, m_, t,
                                            config=cfg, **kw)
+                if deep_timing:
+                    np.asarray(grid.frames)
+                    t_int += time.monotonic() - ti
                 done += BATCH
                 while refine_due(done, refines):
                     grid = refine_policy(grid)
@@ -482,10 +492,15 @@ def run_tpu(cfg, frames):
                     refines += 1
                     dw = post_refine_dw()
         grid = refine_policy(grid)
+        tx = time.monotonic()
         result = extract(grid, config=cfg, cap=EXTRACT_CAP)
         n_vox = int(fetch(result.n_valid))
         assert n_vox <= EXTRACT_CAP, f"extract cap exceeded: {n_vox}"
         dt = time.monotonic() - t0
+        if deep_timing:
+            log(f"tpu {tag} shares: integrate {t_int:.2f}s  "
+                f"extract {time.monotonic()-tx:.2f}s  "
+                f"(refine walls logged above)")
         m = grid_metrics(grid, cfg)
         ovf = {k: v for k, v in m.items() if k.startswith("overflow")}
         log(f"tpu {tag}: {n_frames} frames in {dt:.2f}s  "

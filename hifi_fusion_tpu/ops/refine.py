@@ -95,7 +95,10 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     from ..grid import occupied_slots
     cand_mask = occupied_slots(grid, C) & ~grid.normal_found[:C]
     n_cand = jnp.sum(cand_mask.astype(i32))
-    corder = jnp.argsort(~cand_mask, stable=True)[:U]
+    corder = jnp.argsort(~cand_mask, stable=True)
+    # configs may budget more candidates than table slots (nonzero's old
+    # size=U padding) — pad the partition out to U lanes
+    corder = corder[:U] if U <= C else jnp.pad(corder, (0, U - C))
     cand_ok = jnp.arange(U, dtype=i32) < jnp.minimum(n_cand, U)
     cand_slot = jnp.where(cand_ok, corder.astype(i32), -1)
     cslot = jnp.clip(cand_slot, 0, C - 1)

@@ -146,19 +146,23 @@ def segment_fill(values: jax.Array, starts: jax.Array) -> jax.Array:
 
 
 def _pallas_segscan_enabled() -> bool:
-    """Default ON on a real TPU backend (HIFI_SEGSCAN=0/1 overrides).
-    Validated 2026-08-18 on v5e: bit-identical to the XLA ladder, 2.25x
-    faster at the bench pair shape (37 -> 16 ms for 16ch x 8.4M), and the
-    custom-call payload is cache-key-stable across processes (two fresh
-    processes, zero new jit entries — the round-1 instability is gone).
+    """Opt-in via HIFI_SEGSCAN=1 (requires a real TPU backend).
+
+    The kernel is validated on v5e (2026-08-18): bit-identical to the XLA
+    ladder, 2.25x faster standalone at the bench pair shape (37 -> 16 ms
+    for 16ch x 8.4M), and its custom-call payload is cache-key-stable
+    across processes (the round-1 instability is gone).  It is OFF by
+    default because in the FULL integrate program the win vanishes — A/B
+    on the bench config measured steady 75 vs 74 ms/frame (the ladder's
+    HBM streaming overlaps other work; the pair scans are not the
+    critical path at dep_width=8 / K=4) — while the segscan-containing
+    executable pays a ~280 s first-touch LOAD on the axon service (vs
+    0.8 s without), which a production process would eat on every start.
     Off-TPU the XLA ladder is used (the Pallas interpret path exists for
     unit tests but iterates the grid in Python — too slow for suites)."""
     import os
-    v = os.environ.get("HIFI_SEGSCAN", "auto")
-    if v == "0":
+    if os.environ.get("HIFI_SEGSCAN") != "1":
         return False
-    if v == "1":
-        return True
     from . import pallas_segscan
     return pallas_segscan.available()
 
