@@ -63,15 +63,19 @@ REFINE_EVERY = 8
 # 2026-08-18 on v5e, K=4 depth = 1.30 Mpts/s vs K=1 depth = 0.99.
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 
-# steady-state refine budget variants + extract cap (see run_tpu's
-# refine_policy; warm_cache.py warms exactly these variants).  MID covers
-# the early sweep (each cadence brings ~30-100k new cells until the
-# surface is mostly normal-found), where escalating all the way to the
-# full worst-case budgets costs 2-4 s/pass (trace, PERF.md §5).
-STEADY_BUDGETS = dict(cand_lanes=1 << 15, buf_lanes=1 << 19,
-                      replay_runs=1 << 17, replay_lanes=1 << 19)
-MID_BUDGETS = dict(cand_lanes=1 << 17, buf_lanes=1 << 21,
-                   replay_runs=1 << 19, replay_lanes=1 << 22)
+# Refine budget tiers + extract cap (warm_cache.py warms exactly these).
+# Tier selection happens ON DEVICE (ops/refine.py ``tiers``): the pass
+# reads its own live candidate/buffer counts and lax.switches into the
+# first covering tier, falling back to the full config budgets — the
+# host-side policy this replaces cost two ~34 ms quick_counts round-trips
+# per cadence and stalled the async pipeline (PERF.md §5).  MID covers the
+# early sweep (each cadence brings ~30-100k new cells until the surface is
+# mostly normal-found), where escalating all the way to the full
+# worst-case budgets costs 2-4 s/pass (trace, PERF.md §5).  Tier tuples
+# are (cand_lanes, buf_lanes, replay_runs, replay_lanes).
+STEADY_BUDGETS = (1 << 15, 1 << 19, 1 << 17, 1 << 19)
+MID_BUDGETS = (1 << 17, 1 << 21, 1 << 19, 1 << 22)
+REFINE_TIERS = (STEADY_BUDGETS, MID_BUDGETS)
 EXTRACT_CAP = 1 << 20
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
@@ -104,12 +108,16 @@ FX = float(os.environ.get("BENCH_FX", 900.0))
 def bench_rays():
     from hifi_fusion_tpu.utils.synthetic import camera_rays
     return camera_rays(640, POINTS // 640, fx=FX, fy=FX)
-# Narrow dependant-width integrate variant (ops/integrate.py dep_width):
-# the pair machinery scales with the static per-cell fan-in bound; live
-# max(dep_count) is fetched after each refine (deps are frozen between
-# passes, so the choice is exact — a too-narrow pick is impossible).
-# BENCH_DW=0 disables (always the full-width variant).
-STEADY_DW = int(os.environ.get("BENCH_DW", 8)) or None
+# Narrow dependant-width integrate variants (ops/integrate.py
+# dep_width_tiers): the pair machinery scales with the static per-cell
+# fan-in bound; the dispatch reads max(dep_count) on device and switches
+# into the narrowest listed width that covers it (deps only change inside
+# refine passes, so the choice is exact — a too-narrow pick is
+# impossible).  BENCH_DW=0 disables (always the full-width variant);
+# comma-separated list for multiple tiers (e.g. BENCH_DW=6,8).
+DW_TIERS = tuple(int(x) for x in
+                 os.environ.get("BENCH_DW", "8").split(",") if int(x))
+STEADY_DW = DW_TIERS or None
 
 _T0 = time.monotonic()
 
@@ -283,7 +291,7 @@ def run_tpu(cfg, frames):
     """
     import jax
     import jax.numpy as jnp
-    from hifi_fusion_tpu.grid import make_grid, grid_metrics, quick_counts
+    from hifi_fusion_tpu.grid import make_grid, quick_counts
     from hifi_fusion_tpu.ops.integrate import integrate_frame
     from hifi_fusion_tpu.ops.refine import refine_pass
     from hifi_fusion_tpu.ops.extract import extract
@@ -343,37 +351,18 @@ def run_tpu(cfg, frames):
 
     # steady-state refine passes see 10-100x fewer live candidates /
     # buffered points / replay hits than the static worst-case budgets
-    # (PERF.md §4), so after the FIRST pass (whole pre-normal history,
-    # full budgets) they run with live-count-sized budgets validated
-    # against quick_counts before each pass; any pass whose live counts
-    # exceed the steady budgets escalates to the (already-compiled) full
-    # variant.  Overflow counters still verify nothing was dropped.
-    def refine_policy(grid, first=False):
-        # Tier-select by live counts.  The bench schedules refines every
-        # 4 frames during the initial surface fill (below), so candidate
-        # counts stay inside the MID tier and the UNCONSTRAINED full
-        # program is never touched — on the axon service, first-touch
-        # LOADING of a ~30 MB cached executable was measured at 60-500 s
-        # per process, so the set of programs a run touches is itself a
-        # budget (PERF.md §2).
+    # (PERF.md §4).  Tier selection happens ON DEVICE (ops/refine.py
+    # ``tiers``): the pass switches into the first covering tier and
+    # falls back to the full config budgets — the sweep loop below runs
+    # with ZERO device->host round-trips (the round-2 refine-cadence
+    # walls were dominated by two ~34 ms quick_counts fetches per
+    # cadence).  Overflow counters still verify nothing was dropped.
+    def refine_policy(grid):
         t0 = time.monotonic()
-        qc = quick_counts(grid, cfg)
-        tier = "full"
-        kw = {}
-        for name, b in (("steady", STEADY_BUDGETS), ("mid", MID_BUDGETS)):
-            if (qc["refine_candidates"] <= b["cand_lanes"]
-                    and qc["buffered_points"] <= min(b["replay_runs"],
-                                                     b["buf_lanes"])):
-                tier, kw = name, b
-                break
-        grid = refine_pass(grid, config=cfg, **kw)
+        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
         if os.environ.get("BENCH_TIMING"):
             np.asarray(grid.frames)
-            log(f"refine {tier}: {time.monotonic()-t0:.2f}s  "
-                f"(cand={qc['refine_candidates']} "
-                f"buf={qc['buffered_points']})")
-        elif tier == "full":
-            log(f"refine escalated to full budgets: {qc}")
+            log(f"refine (device-tiered): {time.monotonic()-t0:.2f}s")
         return grid
 
     def refine_due(done, refines):
@@ -386,18 +375,10 @@ def run_tpu(cfg, frames):
 
     def run_once(n_frames, tag):
         grid = make_grid(cfg)
-        # dependant-width variant: exact by construction — dep_count only
-        # changes inside refine passes, so the post-refine fetch always
-        # sees the counts the next REFINE_EVERY integrates will read
-        dw = STEADY_DW
+        # dependant-width choice is ON DEVICE (dep_width_tiers): exact by
+        # construction — the dispatch reads max(dep_count) itself
+        dkw = {} if STEADY_DW is None else dict(dep_width_tiers=DW_TIERS)
         t0 = time.monotonic()
-
-        def post_refine_dw():
-            if STEADY_DW is None:
-                return None
-            qc = quick_counts(grid, cfg)
-            return STEADY_DW if (qc["max_dependants_used"]
-                                 <= STEADY_DW) else None
 
         # BENCH_TIMING=2: barrier after every integrate dispatch to split
         # wall time into integrate/refine/staging shares.  The barriers
@@ -431,7 +412,7 @@ def run_tpu(cfg, frames):
                 tg = time.monotonic()
                 df = dq.get()
                 t_starv += time.monotonic() - tg
-                kw = dict(bkw) if dw is None else dict(dep_width=dw, **bkw)
+                kw = dict(bkw, **dkw)
                 ti = time.monotonic()
                 if WIRE == "depth":
                     d_, rc, cnt, ps = df
@@ -448,7 +429,6 @@ def run_tpu(cfg, frames):
                 while refine_due(done, refines):
                     grid = refine_policy(grid)
                     refines += 1
-                    dw = post_refine_dw()
         else:
             # host->device staging runs on its own thread (the transfer
             # blocks the issuing thread through the tunnel; the GIL is
@@ -474,23 +454,21 @@ def run_tpu(cfg, frames):
                 tg = time.monotonic()
                 df = dq.get()
                 t_starv += time.monotonic() - tg
-                kw = {} if dw is None else dict(dep_width=dw)
                 if WIRE == "depth":
                     d_, rc, cnt, ps = df
                     grid = integrate_frame(grid, d_, rc, cnt, ps,
-                                           config=cfg, rays=jrays, **kw)
+                                           config=cfg, rays=jrays, **dkw)
                 elif WIRE == "q16":
                     pq, qn, rc, cnt, ps = df
                     grid = integrate_frame(grid, pq, rc, cnt, ps,
-                                           config=cfg, quant=qn, **kw)
+                                           config=cfg, quant=qn, **dkw)
                 else:
                     p, c, m_, t = df
                     grid = integrate_frame(grid, p, c, m_, t, config=cfg,
-                                           **kw)
+                                           **dkw)
                 while refine_due(i + 1, refines):
                     grid = refine_policy(grid)
                     refines += 1
-                    dw = post_refine_dw()
         grid = refine_policy(grid)
         tx = time.monotonic()
         result = extract(grid, config=cfg, cap=EXTRACT_CAP)
@@ -501,7 +479,7 @@ def run_tpu(cfg, frames):
             log(f"tpu {tag} shares: integrate {t_int:.2f}s  "
                 f"extract {time.monotonic()-tx:.2f}s  "
                 f"(refine walls logged above)")
-        m = grid_metrics(grid, cfg)
+        m = quick_counts(grid, cfg)     # ONE dispatch for all counters
         ovf = {k: v for k, v in m.items() if k.startswith("overflow")}
         log(f"tpu {tag}: {n_frames} frames in {dt:.2f}s  "
             f"{n_frames/dt:.1f} frames/s  "
@@ -533,8 +511,9 @@ def run_tpu(cfg, frames):
         f"bench.py steady-state on {jax.devices()[0].device_kind} "
         f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
         f"wire={WIRE} ({per_frame_bytes/1e6:.2f} MB/frame), batch={BATCH}, "
-        f"steady dep_width={STEADY_DW}, "
-        f"refine every {REFINE_EVERY} (steady budgets {STEADY_BUDGETS}),"
+        f"device-tiered dep_width {DW_TIERS} and refine budgets "
+        f"{REFINE_TIERS} (zero host syncs in the loop), "
+        f"refine every {REFINE_EVERY},"
         f" final extract included; zero overflow counters asserted. "
         f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))
 

@@ -117,6 +117,12 @@ class FusionConfig:
                                       # way.  False = reference-exact,
                                       # unbounded-buffer semantics.
     bug_compat_blue_shift: bool = False  # reproduce FUSION.cpp:174 blue>>1 bug
+    # device-side budget tiers (ops/integrate.py dep_width_tiers /
+    # ops/refine.py tiers): when set, the pipeline's fused step dispatches
+    # the tiered variants — live counts picked ON DEVICE via lax.switch,
+    # zero host round-trips.  () = always the full static budgets.
+    dep_width_tiers: Tuple[int, ...] = ()
+    refine_tiers: Tuple[Tuple[int, int, int, int], ...] = ()
 
     # ------------------------------------------------------------------
     @property

@@ -74,15 +74,26 @@ class GridState(NamedTuple):
     occ_bits: jax.Array     # (W+T,)    u32
     normal_found: jax.Array  # (C+T,)   bool VoxelInfo::normal_found
     normal: jax.Array       # flat 3    f32  unit surface normal
-    # cylinder statistics (centered sum form); the trailing lane is the
-    # cylinder hit count as f32 (exact to 2^24), merged here so stats and
-    # count land in ONE scatter ---------------------------------------
-    cyl_stats: jax.Array    # flat 9    f32  [Σq(3),Σq²(3),Σd,Σd²,hits]
-    # per-voxel viewpoint + color telemetry, one scatter ---------------
-    vstats: jax.Array       # flat 6    f32  [viewpoint(3),Σrgb(3)]
+    # cylinder statistics (centered sum form, SCALAR projection): every
+    # per-point contribution is q_proj = t*n with the OWNER's constant
+    # unit normal n (t = (p-c)·n), so the vector sums Σq_proj / Σq_proj²
+    # are n*Σt / n²*Σt² — only the scalars need accumulating; extract
+    # reconstructs the vector forms from the stored normal.  9 -> 5
+    # channels cuts the hot scatter-add and the pair scan ladders ~45%
+    # (PERF.md §5).  Trailing lane = cylinder hit count as f32 (exact to
+    # 2^24), merged so stats and count land in ONE scatter -------------
+    cyl_stats: jax.Array    # flat 5    f32  [Σt,Σt²,Σd,Σd²,hits]
+    # per-voxel first-occupancy viewpoint and color telemetry.  Separate
+    # arrays (not one interleaved flat-6): the viewpoint is SET only on
+    # first occupancy (a masked 3-channel scatter over the few new cells)
+    # while Σrgb is a 3-channel scatter-ADD every dispatch — fusing them
+    # required gathering the old rows first (~27 ms/batch of latency-bound
+    # row reads at the bench config, PERF.md §5) -----------------------
+    viewpoint: jax.Array    # flat 3    f32
+    rgb_sum: jax.Array      # flat 3    f32
     # raw point count, OWN contiguous array: occupancy (n_pts > 0) is read
     # as a full-table slice by refine/extract every pass, and a strided
-    # ``vstats[6::7]`` read streamed the whole 176 MB vstats array at
+    # read of an interleaved stats row streamed the whole array at
     # 0.6 GB/s on TPU v5e (316 ms/refine — PERF.md §4); a dedicated array
     # makes it one contiguous 16 MB read -------------------------------
     n_pts: jax.Array        # (C+T,)    f32
@@ -122,8 +133,9 @@ def make_grid(config: FusionConfig) -> GridState:
         occ_bits=jnp.zeros((config.n_occ_words + T,), jnp.uint32),
         normal_found=flat(1, False, jnp.bool_),
         normal=flat(3, 0.0, f32),
-        cyl_stats=flat(9, 0.0, f32),
-        vstats=flat(6, 0.0, f32),
+        cyl_stats=flat(5, 0.0, f32),
+        viewpoint=flat(3, 0.0, f32),
+        rgb_sum=flat(3, 0.0, f32),
         n_pts=flat(1, 0.0, f32),
         dep=flat(D, -1, i32),
         dep_count=flat(1, 0, i32),
@@ -157,7 +169,7 @@ def occupied_at(grid: GridState, slots: jax.Array) -> jax.Array:
 
 def count_at(grid: GridState, slots: jax.Array) -> jax.Array:
     """Cylinder-hit count (i32) for slot indices."""
-    return jnp.round(grid.cyl_stats[slots * 9 + 8]).astype(jnp.int32)
+    return jnp.round(grid.cyl_stats[slots * 5 + 4]).astype(jnp.int32)
 
 
 from functools import partial as _partial

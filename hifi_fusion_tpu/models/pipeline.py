@@ -43,11 +43,13 @@ def _step_impl(grid: GridState, points_cam, rgb, mask, pose,
     grid = integrate_frame_impl(grid, points_cam, rgb, mask, pose,
                                 config=config, offset=offset,
                                 pre_transformed=pre_transformed,
-                                extra_dropped=extra_dropped)
+                                extra_dropped=extra_dropped,
+                                dep_width_tiers=config.dep_width_tiers)
     if config.refine_every > 0:
         grid = jax.lax.cond(
             (grid.frames % config.refine_every) == 0,
-            lambda g: refine_pass_impl(g, config=config, offset=offset),
+            lambda g: refine_pass_impl(g, config=config, offset=offset,
+                                       tiers=config.refine_tiers or None),
             lambda g: g,
             grid)
     return grid
@@ -68,11 +70,13 @@ def fusion_step_depth(grid: GridState, depth_q, rgb565, count, pose, rays,
     resident ``rays`` table, then the same integrate+cadenced-refine step
     as ``fusion_step``."""
     grid = integrate_frame_impl(grid, depth_q, rgb565, count, pose,
-                                config=config, rays=rays)
+                                config=config, rays=rays,
+                                dep_width_tiers=config.dep_width_tiers)
     if config.refine_every > 0:
         grid = jax.lax.cond(
             (grid.frames % config.refine_every) == 0,
-            lambda g: refine_pass_impl(g, config=config),
+            lambda g: refine_pass_impl(g, config=config,
+                                       tiers=config.refine_tiers or None),
             lambda g: g,
             grid)
     return grid

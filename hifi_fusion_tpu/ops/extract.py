@@ -87,21 +87,26 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     center = geometry.center_of_ids(jnp.maximum(cell, 0), config,
                                     offset)                # (3,E)
 
-    stats = jnp.stack([grid.cyl_stats[order * 9 + r] for r in range(9)], 0)
-    cnt = jnp.round(stats[8]).astype(jnp.int32)
-    cnt_f = jnp.maximum(stats[8], 1.0)                     # (E,)
-    mean_q = stats[0:3] / cnt_f
+    normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
+    # scalar sum form (grid.py cyl_stats): per-point q_proj = t*normal, so
+    # Σq = normal*Σt and Σq²_i = normal_i²*Σt² — reconstruct the vector
+    # stats the reference reports from the 5 stored scalars + the normal
+    stats = jnp.stack([grid.cyl_stats[order * 5 + r] for r in range(5)], 0)
+    cnt = jnp.round(stats[4]).astype(jnp.int32)
+    cnt_f = jnp.maximum(stats[4], 1.0)                     # (E,)
+    mean_t = stats[0] / cnt_f
     has = cnt > 0
-    centroid = jnp.where(has[None, :], center + mean_q, 0.0)
-    sd = jnp.where(has[None, :], stats[3:6] / cnt_f - mean_q * mean_q, 0.0)
-    mean_d = jnp.where(has, stats[6] / cnt_f, 0.0)
-    sd_d = jnp.where(has, stats[7] / cnt_f - mean_d * mean_d, 0.0)
+    centroid = jnp.where(has[None, :],
+                         center + normal * mean_t[None, :], 0.0)
+    var_t = stats[1] / cnt_f - mean_t * mean_t
+    sd = jnp.where(has[None, :], (normal * normal) * var_t[None, :], 0.0)
+    mean_d = jnp.where(has, stats[2] / cnt_f, 0.0)
+    sd_d = jnp.where(has, stats[3] / cnt_f - mean_d * mean_d, 0.0)
 
-    rgbs = jnp.stack([grid.vstats[order * 6 + r] for r in range(3, 6)], 0)
+    rgbs = jnp.stack([grid.rgb_sum[order * 3 + r] for r in range(3)], 0)
     npts = grid.n_pts[order]
     npts_f = jnp.maximum(npts, 1.0)
     rgb = rgbs / npts_f[None, :]
-    normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
 
     return ExtractResult(
         n_valid=n_valid,

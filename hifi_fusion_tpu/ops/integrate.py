@@ -158,15 +158,6 @@ def _unpack_inputs(points_cam, rgb, mask, quant, rays=None):
     return points_cam, rgb, mask
 
 
-def _axis_distance(q, n):
-    """(q_proj, dist) exactly as the oracle computes them: project, subtract,
-    norm — bit-compatible with OracleGrid._cylinder_accumulate."""
-    t = jnp.sum(q * n, axis=0, keepdims=True)
-    q_proj = t * n
-    r = q - q_proj
-    return q_proj, jnp.sqrt(jnp.sum(r * r, axis=0))
-
-
 def integrate_frame_impl(grid: GridState,
                          points_cam: jax.Array,  # (3,N) f32 camera-frame pts
                          rgb: jax.Array,         # (3,N) f32 colors [0,255]
@@ -177,7 +168,7 @@ def integrate_frame_impl(grid: GridState,
                          extra_dropped=None, quant=None, rays=None,
                          active_lanes=None, unique_lanes=None,
                          pair_lanes=None, hit_lanes=None,
-                         dep_width=None) -> GridState:
+                         dep_width=None, dep_width_tiers=None) -> GridState:
     """Single-frame (planar (3,N)) or BATCHED ((K,3,N) + (K,4,4) poses)
     integration — batching is keyed on input rank so the single-frame HLO
     is unchanged.
@@ -197,7 +188,44 @@ def integrate_frame_impl(grid: GridState,
     ``active_lanes / unique_lanes / pair_lanes / hit_lanes`` (static)
     override the batch lane budgets; defaults scale the per-frame config
     budgets by K.  Overflows are counted exactly as in the per-frame path.
+
+    ``dep_width_tiers`` (static tuple of widths, ascending) moves the
+    dependant-width variant choice ON DEVICE: the dispatch reads
+    ``max(dep_count)`` (one cheap reduction — dep counts only change
+    inside refine passes) and ``lax.switch``es into the narrowest listed
+    width that covers it, falling back to the full ``max_dependants``
+    width.  This replaces the host-side post-refine ``quick_counts``
+    fetch (one ~34 ms tunnel round-trip per refine cadence, PERF.md §5)
+    and is exact by the same argument as the host policy: a too-narrow
+    branch is simply never selected.
     """
+    if dep_width_tiers:
+        assert dep_width is None, \
+            "dep_width and dep_width_tiers are mutually exclusive"
+        tiers = tuple(dep_width_tiers)
+        assert tuple(sorted(tiers)) == tiers and tiers[-1] <= \
+            config.max_dependants, f"bad dep_width_tiers {tiers}"
+        md = jnp.max(grid.dep_count[:config.capacity])
+        widths = list(tiers) + ([None] if tiers[-1] < config.max_dependants
+                                else [])
+        ix = jnp.searchsorted(jnp.asarray(tiers, jnp.int32), md,
+                              side="left").astype(jnp.int32)
+        ix = jnp.minimum(ix, len(widths) - 1)
+
+        def _mk(dw):
+            def _branch(g, pts, cols, msk, ps):
+                return integrate_frame_impl(
+                    g, pts, cols, msk, ps, config=config, offset=offset,
+                    pre_transformed=pre_transformed,
+                    extra_dropped=extra_dropped, quant=quant, rays=rays,
+                    active_lanes=active_lanes, unique_lanes=unique_lanes,
+                    pair_lanes=pair_lanes, hit_lanes=hit_lanes,
+                    dep_width=dw)
+            return _branch
+
+        return jax.lax.switch(ix, [_mk(w) for w in widths],
+                              grid, points_cam, rgb, mask, pose)
+
     C = config.capacity
     D = config.max_dependants
     B = config.buffer_capacity
@@ -355,17 +383,13 @@ def integrate_frame_impl(grid: GridState,
     occ_bits = scatter_set(grid.occ_bits, word, wen,
                            [old_bits | orscan], W)
     # First-occupancy viewpoint (ghosts re-stamped like the reference's
-    # else-branch overwrite, OccupancyGrid.hpp:229,238) + Σrgb, fused into
-    # ONE set-scatter over the slot-sorted lanes: adds become
-    # set(old + delta), the viewpoint keeps its old value unless this is
-    # the voxel's first occupancy.  The read uses a 2-D row index so the 6
-    # components of a slot come from one contiguous 24-byte run.  The raw
-    # point count goes to its own array (occupancy reads are full-table
-    # slices in refine/extract — PERF.md §4 strided-read pathology).
-    gs = jnp.clip(g_slot, 0, C - 1)
-    old6_rows = grid.vstats[gs[:, None] * 6
-                            + jnp.arange(6, dtype=i32)[None, :]]   # (U,6)
-    old6 = [old6_rows[:, r] for r in range(6)]
+    # else-branch overwrite, OccupancyGrid.hpp:229,238): a 3-channel SET
+    # scatter masked to first-occupancy uniques.  Σrgb: a 3-channel ADD
+    # scatter — separate arrays (grid.py) so neither needs to gather the
+    # old rows first (the fused set(old+delta) form cost a ~27 ms/batch
+    # latency-bound row gather, PERF.md §5).  The raw point count goes to
+    # its own array (occupancy reads are full-table slices in
+    # refine/extract — PERF.md §4 strided-read pathology).
     first = g_valid & ~g_occ0
     if batched:
         # per-unique viewpoint = pose translation of the EARLIEST frame
@@ -374,10 +398,11 @@ def integrate_frame_impl(grid: GridState,
         vp_u = vp_table[fid_s[uorder]]                     # (U,3)
         vp_cols = [vp_u[:, r] for r in range(3)]
     else:
-        vp_cols = [viewpoint[0], viewpoint[1], viewpoint[2]]
-    cols6 = [jnp.where(first, vp_cols[r], old6[r]) for r in range(3)]
-    cols6 += [old6[3 + r] + g_sum4[r] for r in range(3)]
-    vstats = scatter_set(grid.vstats, g_slot, g_valid, cols6, C)
+        vp_cols = [jnp.broadcast_to(viewpoint[r], first.shape)
+                   for r in range(3)]
+    vpoint = scatter_set(grid.viewpoint, g_slot, first, vp_cols, C)
+    rgb_sum = scatter_add(grid.rgb_sum, g_slot, g_valid,
+                          [g_sum4[r] for r in range(3)], C)
     n_pts = scatter_add(grid.n_pts, g_slot, g_valid, [g_sum4[3]], C)
 
     # ---- buffer append: one contiguous block write ----------------------
@@ -500,29 +525,35 @@ def integrate_frame_impl(grid: GridState,
     fill_ok = ofill[6] == powner.astype(f32)
 
     hq = jnp.stack([px, py, pz], axis=0) - o_center
-    hqp, hdist = _axis_distance(hq, o_normal)
+    ht = jnp.sum(hq * o_normal, axis=0)                    # scalar proj t
+    hr = hq - ht[None, :] * o_normal
+    hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))
     hhit = pvalid & fill_ok & (hdist < config.cylinder_radius)
-    vals9 = jnp.where(hhit[None, :], jnp.concatenate(
-        [hqp, hqp * hqp, hdist[None], (hdist * hdist)[None],
-         jnp.ones((1, P), f32)], axis=0), 0.0)
-    hsum9 = segment_sums(vals9, pstarts)
+    # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the run's
+    # constant normal, so only [t, t², d, d², 1] need summing — 5 scan
+    # channels instead of 9
+    vals5 = jnp.where(hhit[None, :], jnp.stack(
+        [ht, ht * ht, hdist, hdist * hdist,
+         jnp.ones((P,), f32)], axis=0), 0.0)
+    hsum5 = segment_sums(vals5, pstarts)
 
-    # run-END compaction, then ONE 9-component unique-scatter; end
+    # run-END compaction, then ONE 5-component unique-scatter; end
     # positions derive from the start positions (ops/scatter.py
     # end_positions) instead of a second full-width partition sort
     eorder2 = end_positions(sorder.astype(i32), n_pstarts,
                             jnp.sum(pvalid.astype(i32)))
     e_owner = powner[eorder2]
     e_ok = jnp.arange(UH, dtype=i32) < uh_lim
-    e9 = hsum9[:, eorder2]                                 # (9,UH)
+    e5 = hsum5[:, eorder2]                                 # (5,UH)
     cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
-                            [e9[r] for r in range(9)], C)
+                            [e5[r] for r in range(5)], C)
 
     return grid._replace(
         key=key_table,
         occ_bits=occ_bits,
         cyl_stats=cyl_stats,
-        vstats=vstats,
+        viewpoint=vpoint,
+        rgb_sum=rgb_sum,
         n_pts=n_pts,
         buf_pts=buf_pts,
         buf_slot=buf_slot,
@@ -540,5 +571,5 @@ integrate_frame = partial(jax.jit,
                           static_argnames=("config", "pre_transformed",
                                            "active_lanes", "unique_lanes",
                                            "pair_lanes", "hit_lanes",
-                                           "dep_width"),
+                                           "dep_width", "dep_width_tiers"),
                           donate_argnames=("grid",))(integrate_frame_impl)

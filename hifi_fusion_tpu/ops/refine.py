@@ -59,7 +59,8 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
 
 def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                      offset=None, replay_lanes=None, cand_lanes=None,
-                     buf_lanes=None, replay_runs=None) -> GridState:
+                     buf_lanes=None, replay_runs=None,
+                     tiers=None) -> GridState:
     """Budget overrides (all static, smaller-or-equal to the config bounds;
     ``None`` = the config value) let steady-state passes run on live-count-
     sized lane spaces instead of worst-case ones — the round-1 trace showed
@@ -75,7 +76,46 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
       (the session policy sizes it from quick_counts so this never fires).
     * ``replay_runs``  — distinct buffered-slot runs replayable (config RB).
     * ``replay_lanes`` — replay pair-point lanes (config R2), as before.
+
+    ``tiers`` (static) moves the budget-variant choice ON DEVICE: a tuple
+    of ``(cand_lanes, buf_lanes, replay_runs, replay_lanes)`` tuples,
+    ascending.  The pass computes the live candidate/buffer counts and
+    ``lax.switch``es into the first tier whose budgets cover them, falling
+    back to the full config budgets.  This replaces the host-side policy
+    (fetch ``quick_counts`` → pick a compiled variant → dispatch) that cost
+    two ~34 ms device→host round-trips per cadence on the axon tunnel and
+    stalled the async dispatch pipeline (PERF.md §5) — with tiers the whole
+    sweep runs sync-free.  Tier selection is exact: the conditions match
+    the budgets' own fit requirements, so a tiered pass never overflows
+    where the equivalent host policy would not.
     """
+    if tiers:
+        assert (cand_lanes is None and buf_lanes is None
+                and replay_runs is None and replay_lanes is None), \
+            "tiers and explicit budgets are mutually exclusive"
+        from ..grid import occupied_slots as _occ
+        Cc = config.capacity
+        n_cand = jnp.sum((_occ(grid, Cc)
+                          & ~grid.normal_found[:Cc]).astype(jnp.int32))
+        nbuf = grid.buf_count
+        ix = jnp.int32(len(tiers))          # fallback: full config budgets
+        for i in reversed(range(len(tiers))):
+            cl, bl, rr, _rl = tiers[i]
+            fit = (n_cand <= cl) & (nbuf <= min(rr, bl))
+            ix = jnp.where(fit, jnp.int32(i), ix)
+
+        def _mk(budget):
+            def _branch(g):
+                kw = {} if budget is None else dict(
+                    cand_lanes=budget[0], buf_lanes=budget[1],
+                    replay_runs=budget[2], replay_lanes=budget[3])
+                return refine_pass_impl(g, config=config, offset=offset,
+                                        **kw)
+            return _branch
+
+        return jax.lax.switch(ix, [_mk(t) for t in tiers] + [_mk(None)],
+                              grid)
+
     C = config.capacity
     D = config.max_dependants
     U = min(cand_lanes if cand_lanes is not None
@@ -174,7 +214,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
     # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = jnp.stack([grid.vstats[cslot * 6 + r] for r in range(3)], 0)
+    vp = jnp.stack([grid.viewpoint[cslot * 3 + r] for r in range(3)], 0)
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
@@ -368,17 +408,17 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     r_center = ofill[0:3]
     r_normal = ofill[3:6]
     rq = r_pt - r_center
-    t = jnp.sum(rq * r_normal, axis=0, keepdims=True)
-    rqp = t * r_normal
-    rr = rq - rqp
+    rt = jnp.sum(rq * r_normal, axis=0)                    # scalar proj t
+    rr = rq - rt[None, :] * r_normal
     rdist = jnp.sqrt(jnp.sum(rr * rr, axis=0))
     rhit = rvalid & (rdist < config.cylinder_radius)
-    vals9 = jnp.where(rhit[None, :], jnp.concatenate(
-        [rqp, rqp * rqp, rdist[None], (rdist * rdist)[None],
-         jnp.ones((1, R2), f32)], axis=0), 0.0)
+    # scalar sum form, matching integrate (grid.py cyl_stats)
+    vals5 = jnp.where(rhit[None, :], jnp.stack(
+        [rt, rt * rt, rdist, rdist * rdist,
+         jnp.ones((R2,), f32)], axis=0), 0.0)
     rstarts = segment_starts(rowner, rvalid)
     rends = segment_ends(rowner, rvalid)
-    rsum9 = segment_sums(vals9, rstarts)
+    rsum5 = segment_sums(vals5, rstarts)
     # Replay owners are always THIS pass's gated candidates, so the
     # end-compaction bound is max_refine_candidates — NOT max_hit_voxels
     # (which bounds per-frame stream owners).  With the smaller bound the
@@ -391,9 +431,9 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     eorder2 = jnp.argsort(~rends, stable=True)[:UH]
     eo_slot = rowner[eorder2]
     emask2 = rends[eorder2]
-    esum9 = rsum9[:, eorder2]
+    esum5 = rsum5[:, eorder2]
     cyl_stats = scatter_add(grid.cyl_stats, eo_slot, emask2,
-                            [esum9[r] for r in range(9)], C)
+                            [esum5[r] for r in range(5)], C)
 
     # --- buffer reclamation (post-replay) ---------------------------------
     # Lanes whose voxel now has a normal are frozen (integrate stops
@@ -457,5 +497,5 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
 refine_pass = partial(jax.jit,
                       static_argnames=("config", "replay_lanes",
                                        "cand_lanes", "buf_lanes",
-                                       "replay_runs"),
+                                       "replay_runs", "tiers"),
                       donate_argnames=("grid",))(refine_pass_impl)

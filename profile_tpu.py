@@ -1,8 +1,15 @@
 """Per-op TPU timing harness for the bench config (not part of the package).
 
-Times integrate_frame and refine_pass separately, steady-state, using a
-device->host fetch as the barrier (block_until_ready returns early through
-the axon tunnel).
+Times the EXACT steady-state programs bench.py dispatches — the K-frame
+batched depth-wire integrate with device-tiered dep widths, the
+device-tiered refine, the capped extract — using a device->host fetch as
+the barrier (block_until_ready returns early through the axon tunnel).
+
+PROF_TRACE=<dir> additionally captures one jax.profiler trace per program
+(summarize with tools/xplane_summary.py).  PROF_AB=1 also times the
+single-frame and full-width variants for A/B comparison (extra programs =
+extra first-touch executable loads on the axon service, so off by
+default).
 """
 import os
 import sys
@@ -20,11 +27,14 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
-    from bench import bench_config
-    from hifi_fusion_tpu.grid import make_grid, grid_metrics
+    from bench import (BATCH, BATCH_HITS, BATCH_PAIRS, BATCH_UNIQUE,
+                      DW_TIERS, EXTRACT_CAP, REFINE_TIERS, STEADY_DW,
+                      bench_config, bench_rays)
+    from hifi_fusion_tpu.grid import make_grid, quick_counts
+    from hifi_fusion_tpu.ops.extract import extract
     from hifi_fusion_tpu.ops.integrate import integrate_frame
     from hifi_fusion_tpu.ops.refine import refine_pass
-    from hifi_fusion_tpu.utils.synthetic import make_sweep, pad_frame
+    from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
@@ -33,103 +43,120 @@ def main():
 
     cfg = bench_config()
     log(f"devices: {jax.devices()}")
-    n_frames = int(os.environ.get("PROF_FRAMES", 8))
-    # the bench steady-state ingest: depth wire + narrow dep-width variant
-    from bench import STEADY_DW, bench_rays
-    from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
+    n_frames = int(os.environ.get("PROF_FRAMES", 16))
+    n_frames = max((n_frames // BATCH) * BATCH, BATCH)
     dframes = make_depth_sweep(cfg, n_frames, 640, cfg.max_points // 640,
                                srays=bench_rays(), seed=0,
                                noise_sd=3e-4, camera_height=0.4)
     jrays = jnp.asarray(bench_rays())
-    depth = [jnp.asarray(f.depth_q) for f in dframes]
-    rgb5 = [jnp.asarray(f.rgb565) for f in dframes]
-    cnt = [jnp.asarray(np.int32(f.count)) for f in dframes]
-    pose = [jnp.asarray(f.pose) for f in dframes]
-    dkw = {} if STEADY_DW is None else dict(dep_width=STEADY_DW)
+    dkw = {} if STEADY_DW is None else dict(dep_width_tiers=DW_TIERS)
+    bkw = dict(unique_lanes=min(BATCH_UNIQUE,
+                                BATCH * cfg.max_unique_per_frame),
+               hit_lanes=min(BATCH_HITS, BATCH * cfg.max_hit_voxels),
+               pair_lanes=min(BATCH_PAIRS, BATCH * cfg.max_stream_pairs),
+               **dkw)
+    # K-frame stacks, device-resident (staging excluded from timings)
+    stacks = []
+    for b in range(n_frames // BATCH):
+        fs = dframes[b * BATCH:(b + 1) * BATCH]
+        stacks.append((
+            jnp.asarray(np.stack([f.depth_q for f in fs])),
+            jnp.asarray(np.stack([f.rgb565 for f in fs])),
+            jnp.asarray(np.asarray([f.count for f in fs], np.int32)),
+            jnp.asarray(np.stack([f.pose for f in fs]))))
 
     grid = make_grid(cfg)
 
     def fetch(g):
         return int(np.asarray(g.frames))
 
-    def istep(g, i, **kw):
-        return integrate_frame(g, depth[i], rgb5[i], cnt[i], pose[i],
-                               config=cfg, rays=jrays, **kw)
+    def bstep(g, b):
+        d, r, c, p = stacks[b % len(stacks)]
+        return integrate_frame(g, d, r, c, p, config=cfg, rays=jrays, **bkw)
 
-    # compile both programs
+    # compile / first-touch-load both programs
     t0 = time.monotonic()
-    grid = istep(grid, 0, **dkw)
+    grid = bstep(grid, 0)
     fetch(grid)
-    log(f"integrate compile+run: {time.monotonic()-t0:.1f}s")
+    log(f"batched integrate compile+run: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
     fetch(grid)
-    log(f"refine compile+run: {time.monotonic()-t0:.1f}s")
+    log(f"tiered refine compile+run: {time.monotonic()-t0:.1f}s")
 
-    # steady state: integrate all frames
+    # pre-normal steady state
     t0 = time.monotonic()
-    for i in range(1, n_frames):
-        grid = istep(grid, i, **dkw)
+    for b in range(1, n_frames // BATCH):
+        grid = bstep(grid, b)
     fetch(grid)
     dt = time.monotonic() - t0
-    log(f"integrate steady: {dt/(n_frames-1)*1000:.1f} ms/frame "
-        f"({(n_frames-1)*cfg.max_points/dt/1e6:.1f} Mpts/s)")
+    nf = n_frames - BATCH
+    log(f"integrate pre-normal: {dt/nf*1000:.1f} ms/frame "
+        f"({nf*cfg.max_points/dt/1e6:.2f} Mpts/s)")
 
-    # refine steady state (full replay budget — the first pass)
+    # refine over the full pre-normal history (tier-escalates on device)
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
     fetch(grid)
-    log(f"refine steady: {(time.monotonic()-t0)*1000:.1f} ms")
+    log(f"tiered refine (first, full history): "
+        f"{(time.monotonic()-t0)*1000:.1f} ms")
 
-    # the bench's steady-state refine variant (full warming covers it)
-    from bench import STEADY_BUDGETS as _SB
-    t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, **_SB)
-    fetch(grid)
-    log(f"refine steady-budgets #1: {(time.monotonic()-t0)*1000:.1f} ms")
-    t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, **_SB)
-    fetch(grid)
-    log(f"refine steady-budgets #2: {(time.monotonic()-t0)*1000:.1f} ms")
+    # steady state WITH dependants: the production cadence
+    for r in range(int(os.environ.get("PROF_ROUNDS", 3))):
+        t0 = time.monotonic()
+        for b in range(n_frames // BATCH):
+            grid = bstep(grid, b)
+        fetch(grid)
+        dt = time.monotonic() - t0
+        ti = time.monotonic()
+        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+        fetch(grid)
+        tr = time.monotonic() - ti
+        log(f"round {r}: integrate {dt/n_frames*1000:.1f} ms/frame "
+            f"({n_frames*cfg.max_points/dt/1e6:.2f} Mpts/s), "
+            f"tiered refine {tr*1000:.1f} ms "
+            f"-> {n_frames*cfg.max_points/(dt+tr)/1e6:.2f} Mpts/s "
+            f"incl. refine")
 
-    # integrate AFTER normals exist (dependant stream now active)
     t0 = time.monotonic()
-    for i in range(n_frames):
-        grid = istep(grid, i, **dkw)
-    fetch(grid)
-    dt = time.monotonic() - t0
-    log(f"integrate w/ deps (dep_width={STEADY_DW}): "
-        f"{dt/n_frames*1000:.1f} ms/frame "
-        f"({n_frames*cfg.max_points/dt/1e6:.1f} Mpts/s)")
-    # A/B: the full-width variant on the same state
-    t0 = time.monotonic()
-    for i in range(n_frames):
-        grid = istep(grid, i)
-    fetch(grid)
-    dt = time.monotonic() - t0
-    log(f"integrate w/ deps (full width): {dt/n_frames*1000:.1f} ms/frame "
-        f"({n_frames*cfg.max_points/dt/1e6:.1f} Mpts/s)")
-    log(str(grid_metrics(grid, cfg)))
+    res = extract(grid, config=cfg, cap=EXTRACT_CAP)
+    nv = int(np.asarray(res.n_valid))
+    log(f"extract cap={EXTRACT_CAP}: {(time.monotonic()-t0)*1000:.1f} ms "
+        f"({nv} voxels)")
+    log(str(quick_counts(grid, cfg)))
+
+    if os.environ.get("PROF_AB"):
+        # A/B variants (extra executable loads): full-width batched
+        t0 = time.monotonic()
+        d, r, c, p = stacks[0]
+        g2 = integrate_frame(grid, d, r, c, p, config=cfg, rays=jrays,
+                             **{k: v for k, v in bkw.items()
+                                if not k.startswith("dep")})
+        fetch(g2)
+        log(f"A/B full-width batched (compile+run): "
+            f"{time.monotonic()-t0:.1f}s")
+        t0 = time.monotonic()
+        for b in range(n_frames // BATCH):
+            d, r, c, p = stacks[b]
+            g2 = integrate_frame(g2, d, r, c, p, config=cfg, rays=jrays,
+                                 **{k: v for k, v in bkw.items()
+                                    if not k.startswith("dep")})
+        fetch(g2)
+        dt = time.monotonic() - t0
+        log(f"A/B full-width batched: {dt/n_frames*1000:.1f} ms/frame")
 
     if os.environ.get("PROF_TRACE"):
-        # trace the EXACT program variants the bench steady state runs:
-        # per-frame integrate, steady-budget refine, capped extract
-        # (bench.py STEADY_BUDGETS / EXTRACT_CAP)
-        from bench import STEADY_BUDGETS, EXTRACT_CAP
-        from hifi_fusion_tpu.ops.extract import extract
+        # trace the EXACT programs the bench steady state runs
         base = os.environ["PROF_TRACE"]
         with jax.profiler.trace(os.path.join(base, "integrate")):
-            g2 = istep(grid, 0, **dkw)
-            fetch(g2)
-        with jax.profiler.trace(os.path.join(base, "refine_steady")):
-            g2 = refine_pass(g2, config=cfg, **STEADY_BUDGETS)
-            fetch(g2)
-        with jax.profiler.trace(os.path.join(base, "refine_full")):
-            g2 = refine_pass(g2, config=cfg)
-            fetch(g2)
+            grid = bstep(grid, 0)
+            fetch(grid)
+        with jax.profiler.trace(os.path.join(base, "refine_tiered")):
+            grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+            fetch(grid)
         with jax.profiler.trace(os.path.join(base, "extract")):
-            r = extract(g2, config=cfg, cap=EXTRACT_CAP)
-            np.asarray(r.n_valid)
+            r2 = extract(grid, config=cfg, cap=EXTRACT_CAP)
+            np.asarray(r2.n_valid)
 
 
 if __name__ == "__main__":

@@ -89,15 +89,15 @@ def test_batched_viewpoint_is_earliest_frame():
     fs = _frames(2, seed=23)
     seq = _seq(make_grid(CFG), fs)
     bat = integrate_frame(make_grid(CFG), *_stack(fs), config=CFG)
-    # viewpoint lives in vstats rows 0:3; compare keyed by cell id
+    # compare the per-voxel viewpoint stamps keyed by cell id
     def vp_by_cell(g):
         # slice to capacity: every grid array carries a scatter scratch
         # tail past C whose contents are garbage by design (ops/scatter.py)
         C = CFG.capacity
         key = np.asarray(g.key)[:C]
         occ = np.asarray(g.n_pts)[:C] > 0
-        vs = np.asarray(g.vstats).reshape(-1, 6)[:C]
-        d = {int(k): tuple(vs[i, :3]) for i, k in enumerate(key)
+        vs = np.asarray(g.viewpoint).reshape(-1, 3)[:C]
+        d = {int(k): tuple(vs[i]) for i, k in enumerate(key)
              if occ[i]}
         return d
     a, b = vp_by_cell(seq), vp_by_cell(bat)

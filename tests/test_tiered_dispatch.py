@@ -1,0 +1,124 @@
+"""Device-side tier dispatch must equal the host-side variant policy.
+
+Round-2 perf work moves the budget-variant choice ON DEVICE (lax.switch on
+live counts) so the steady-state sweep runs with zero host round-trips:
+
+* ``refine_pass(..., tiers=...)`` replaces quick_counts -> pick budgets,
+* ``integrate_frame(..., dep_width_tiers=...)`` replaces the post-refine
+  quick_counts -> dep_width fetch.
+
+Both must be bit-identical to the explicit-budget calls they replace, and
+the tier CONDITIONS must match the host policy in bench.py exactly (a tier
+is chosen iff its budgets cover the live counts).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from hifi_fusion_tpu.config import small_test_config
+from hifi_fusion_tpu.grid import make_grid, grid_metrics, quick_counts
+from hifi_fusion_tpu.ops.extract import extract, to_host
+from hifi_fusion_tpu.ops.integrate import integrate_frame
+from hifi_fusion_tpu.ops.refine import refine_pass
+from hifi_fusion_tpu.utils.synthetic import make_sweep, pad_frame
+
+CFG = small_test_config()
+
+# generous steady budgets (cover the live counts of the small sweep) and a
+# deliberately starved first tier (never covers anything)
+STEADY = (2048, 1 << 14, 1 << 13, 1 << 15)
+TINY = (8, 16, 16, 32)
+
+
+def _frames(n=6, seed=11):
+    return [pad_frame(f, CFG.max_points)
+            for f in make_sweep(CFG, n, 2048, seed=seed, surface_frac=0.6)]
+
+
+def _fuse(refine_kw=None, integrate_kw=None, n=6, seed=11):
+    grid = make_grid(CFG)
+    for i, pf in enumerate(_frames(n, seed)):
+        grid = integrate_frame(grid, jnp.asarray(pf.points_cam),
+                               jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
+                               jnp.asarray(pf.pose), config=CFG,
+                               **(integrate_kw or {}))
+        if (i + 1) % 2 == 0:
+            grid = refine_pass(grid, config=CFG, **(refine_kw or {}))
+    return refine_pass(grid, config=CFG, **(refine_kw or {}))
+
+
+def _host(grid):
+    return to_host(extract(grid, config=CFG))
+
+
+def _assert_state_equal(a, b):
+    ha, hb = _host(a), _host(b)
+    for k in ha:
+        np.testing.assert_array_equal(ha[k], hb[k], err_msg=k)
+    ma, mb = grid_metrics(a, CFG), grid_metrics(b, CFG)
+    assert ma == mb, (ma, mb)
+
+
+def test_refine_tiers_pick_covering_tier_bit_identical():
+    explicit = _fuse(refine_kw=dict(cand_lanes=STEADY[0],
+                                    buf_lanes=STEADY[1],
+                                    replay_runs=STEADY[2],
+                                    replay_lanes=STEADY[3]))
+    tiered = _fuse(refine_kw=dict(tiers=(STEADY,)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(explicit, tiered)
+
+
+def test_refine_tiers_skip_starved_tier():
+    # the tiny tier never covers the live counts -> the switch must fall
+    # through to the steady tier, still bit-identical, zero overflow
+    tiered = _fuse(refine_kw=dict(tiers=(TINY, STEADY)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    explicit = _fuse(refine_kw=dict(cand_lanes=STEADY[0],
+                                    buf_lanes=STEADY[1],
+                                    replay_runs=STEADY[2],
+                                    replay_lanes=STEADY[3]))
+    _assert_state_equal(explicit, tiered)
+
+
+def test_refine_tiers_fall_back_to_full_budgets():
+    # only the starved tier listed -> every pass escalates to the full
+    # config budgets; must equal the plain full-budget run exactly
+    tiered = _fuse(refine_kw=dict(tiers=(TINY,)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(_fuse(), tiered)
+
+
+def test_dep_width_tiers_bit_identical():
+    full = _fuse()
+    live_max = quick_counts(full, CFG)["max_dependants_used"]
+    assert 0 < live_max <= CFG.max_dependants
+    dw = min(live_max + 1, CFG.max_dependants)
+    tiered = _fuse(integrate_kw=dict(dep_width_tiers=(dw,)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(full, tiered)
+
+
+def test_dep_width_tiers_escalate_past_narrow():
+    # a 1-wide first tier cannot cover multi-dependant cells: the switch
+    # must escalate to the next width; zero overflow, bit-identical
+    full = _fuse()
+    live_max = quick_counts(full, CFG)["max_dependants_used"]
+    if live_max < 2:
+        import pytest
+        pytest.skip("sweep produced no multi-dependant cells")
+    tiered = _fuse(integrate_kw=dict(dep_width_tiers=(1, CFG.max_dependants)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(full, tiered)
+
+
+def test_combined_tiers_end_to_end():
+    combined = _fuse(refine_kw=dict(tiers=(TINY, STEADY)),
+                     integrate_kw=dict(dep_width_tiers=(2,)))
+    qc = quick_counts(combined, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(_fuse(), combined)

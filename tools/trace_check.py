@@ -23,7 +23,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from bench import bench_config, BATCH, STEADY_BUDGETS, EXTRACT_CAP
+    from bench import bench_config, BATCH, REFINE_TIERS, EXTRACT_CAP
     from hifi_fusion_tpu.grid import make_grid, _quick_counts
     from hifi_fusion_tpu.ops.extract import extract
     from hifi_fusion_tpu.ops.integrate import integrate_frame
@@ -49,8 +49,8 @@ def main():
         (f"integrate_frame batched K={K}", lambda: integrate_frame.lower(
             grid, bpts, brgb, bmask, bpose, config=cfg)),
         ("refine_pass full", lambda: refine_pass.lower(grid, config=cfg)),
-        ("refine_pass steady", lambda: refine_pass.lower(
-            grid, config=cfg, **STEADY_BUDGETS)),
+        ("refine_pass tiered", lambda: refine_pass.lower(
+            grid, config=cfg, tiers=REFINE_TIERS)),
         ("extract capped", lambda: extract.lower(
             grid, config=cfg, cap=EXTRACT_CAP)),
         ("quick_counts", lambda: _quick_counts.lower(grid, cfg.capacity)),

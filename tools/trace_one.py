@@ -25,7 +25,7 @@ def main():
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from bench import bench_config, STEADY_BUDGETS, EXTRACT_CAP
+    from bench import bench_config, REFINE_TIERS, EXTRACT_CAP
     from hifi_fusion_tpu.grid import make_grid
     from hifi_fusion_tpu.ops.extract import extract
     from hifi_fusion_tpu.ops.integrate import integrate_frame
@@ -44,7 +44,7 @@ def main():
                                jnp.asarray(f.pose), config=cfg)
         if (i + 1) % 4 == 0:
             grid = refine_pass(grid, config=cfg)
-    grid = refine_pass(grid, config=cfg, **STEADY_BUDGETS)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
     np.asarray(grid.frames)
     print(f"steady state built ({n_frames} frames)", flush=True)
 
@@ -56,8 +56,8 @@ def main():
                                    jnp.asarray(f0.rgb), jnp.asarray(f0.mask),
                                    jnp.asarray(f0.pose), config=cfg)
             np.asarray(grid.frames)
-        elif which == "refine_steady":
-            grid = refine_pass(grid, config=cfg, **STEADY_BUDGETS)
+        elif which == "refine_tiered":
+            grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
             np.asarray(grid.frames)
         elif which == "refine_full":
             grid = refine_pass(grid, config=cfg)

@@ -62,22 +62,20 @@ def main():
                                       [0.0, 0.0, 0.0]], np.float32)))
     np.asarray(grid.frames)
     log(f"integrate_frame@bench packed-u16: {time.monotonic()-t0:.1f}s")
-    # the sensor-native depth wire (bench.py BENCH_WIRE default) at the
-    # steady dep-width variant and the full-width fallback
-    from bench import STEADY_DW
+    # the sensor-native depth wire (bench.py BENCH_WIRE default) with the
+    # device-tiered dep-width dispatch bench.py issues (dep_width_tiers)
+    from bench import DW_TIERS, STEADY_DW
     from hifi_fusion_tpu.utils.synthetic import camera_rays
     jrays = jnp.asarray(camera_rays(640, N // 640))
-    dvariants = ([STEADY_DW] if STEADY_DW else []) + [None]
-    for dwv in dvariants:
-        t0 = time.monotonic()
-        kw = {} if dwv is None else dict(dep_width=dwv)
-        grid = integrate_frame(grid, jnp.zeros((N,), jnp.uint16),
-                               jnp.zeros((N,), jnp.uint16),
-                               jnp.asarray(np.int32(0)), pose, config=cfg,
-                               rays=jrays, **kw)
-        np.asarray(grid.frames)
-        log(f"integrate_frame@bench depth dep_width={dwv}: "
-            f"{time.monotonic()-t0:.1f}s")
+    dkw = {} if STEADY_DW is None else dict(dep_width_tiers=DW_TIERS)
+    t0 = time.monotonic()
+    grid = integrate_frame(grid, jnp.zeros((N,), jnp.uint16),
+                           jnp.zeros((N,), jnp.uint16),
+                           jnp.asarray(np.int32(0)), pose, config=cfg,
+                           rays=jrays, **dkw)
+    np.asarray(grid.frames)
+    log(f"integrate_frame@bench depth dep_width_tiers={DW_TIERS}: "
+        f"{time.monotonic()-t0:.1f}s")
     from bench import BATCH
     if BATCH > 1:
         from bench import BATCH_UNIQUE, BATCH_HITS, BATCH_PAIRS, WIRE
@@ -88,36 +86,35 @@ def main():
                                   BATCH * cfg.max_stream_pairs))
         poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                  (BATCH, 4, 4))
-        for dwv in dvariants:
-            kw = dict(bkw) if dwv is None else dict(dep_width=dwv, **bkw)
-            t0 = time.monotonic()
-            if WIRE == "depth":
-                grid = integrate_frame(
-                    grid, jnp.zeros((BATCH, N), jnp.uint16),
-                    jnp.zeros((BATCH, N), jnp.uint16),
-                    jnp.zeros((BATCH,), jnp.int32), poses,
-                    config=cfg, rays=jrays, **kw)
-            else:
-                grid = integrate_frame(
-                    grid, jnp.zeros((BATCH, 3, N), jnp.float32),
-                    jnp.zeros((BATCH, 3, N), jnp.float32),
-                    jnp.zeros((BATCH, N), bool), poses, config=cfg, **kw)
-            np.asarray(grid.frames)
-            log(f"integrate_frame@bench batched K={BATCH} wire={WIRE} "
-                f"dep_width={dwv}: {time.monotonic()-t0:.1f}s")
+        kw = dict(bkw, **dkw)
+        t0 = time.monotonic()
+        if WIRE == "depth":
+            grid = integrate_frame(
+                grid, jnp.zeros((BATCH, N), jnp.uint16),
+                jnp.zeros((BATCH, N), jnp.uint16),
+                jnp.zeros((BATCH,), jnp.int32), poses,
+                config=cfg, rays=jrays, **kw)
+        else:
+            grid = integrate_frame(
+                grid, jnp.zeros((BATCH, 3, N), jnp.float32),
+                jnp.zeros((BATCH, 3, N), jnp.float32),
+                jnp.zeros((BATCH, N), bool), poses, config=cfg, **kw)
+        np.asarray(grid.frames)
+        log(f"integrate_frame@bench batched K={BATCH} wire={WIRE} "
+            f"dep_width_tiers={DW_TIERS}: {time.monotonic()-t0:.1f}s")
+    # the device-tiered refine program bench.py dispatches every cadence
+    # (steady + mid + full-fallback branches in ONE executable), plus the
+    # plain full-budget program (--verify / session / library path)
+    from bench import REFINE_TIERS, EXTRACT_CAP
+    t0 = time.monotonic()
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+    np.asarray(grid.frames)
+    log(f"refine_pass@bench tiers={REFINE_TIERS}: "
+        f"{time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     grid = refine_pass(grid, config=cfg)
     np.asarray(grid.frames)
-    log(f"refine_pass@bench: {time.monotonic()-t0:.1f}s")
-    t0 = time.monotonic()
-    from bench import STEADY_BUDGETS, MID_BUDGETS, EXTRACT_CAP
-    grid = refine_pass(grid, config=cfg, **STEADY_BUDGETS)
-    np.asarray(grid.frames)
-    log(f"refine_pass@bench steady-budgets: {time.monotonic()-t0:.1f}s")
-    t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, **MID_BUDGETS)
-    np.asarray(grid.frames)
-    log(f"refine_pass@bench mid-budgets: {time.monotonic()-t0:.1f}s")
+    log(f"refine_pass@bench full: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     r = extract(grid, config=cfg, cap=EXTRACT_CAP)
     np.asarray(r.n_valid)
