@@ -76,6 +76,11 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4))
 STEADY_BUDGETS = (1 << 15, 1 << 19, 1 << 17, 1 << 19)
 MID_BUDGETS = (1 << 17, 1 << 21, 1 << 19, 1 << 22)
 REFINE_TIERS = (STEADY_BUDGETS, MID_BUDGETS)
+# Inner replay-expansion tiers (ops/refine.py ``replay_tiers``): the
+# replay block additionally lax.switches on the LIVE replayed-point total
+# t_rep (known only mid-pass), so a steady pass whose replay is near-empty
+# runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.
+REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21)
 EXTRACT_CAP = 1 << 20
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
@@ -359,7 +364,8 @@ def run_tpu(cfg, frames):
     # cadence).  Overflow counters still verify nothing was dropped.
     def refine_policy(grid):
         t0 = time.monotonic()
-        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
         if os.environ.get("BENCH_TIMING"):
             np.asarray(grid.frames)
             log(f"refine (device-tiered): {time.monotonic()-t0:.2f}s")

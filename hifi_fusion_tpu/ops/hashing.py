@@ -47,6 +47,16 @@ def hash_u32(x: jax.Array) -> jax.Array:
     return h
 
 
+def _probe_off(j):
+    """Quadratic probe offset j(j+1)/2 (triangular) — visits every slot of
+    a power-of-2 table exactly once over C probes (standard property) and
+    breaks up the primary clustering of linear probing: the bench's first
+    refine measured 10 lock-step probe rounds over ~600k inserts at 14%
+    load with +j stepping, every round streaming the full lane space."""
+    j = j.astype(jnp.uint32)
+    return (j * (j + jnp.uint32(1))) >> 1
+
+
 def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
            max_probes: int, capacity: int) -> jax.Array:
     """Find slots holding ``ids`` (pure gathers). -1 = absent/inactive."""
@@ -60,7 +70,7 @@ def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
 
     def body(state):
         slot, unresolved, j = state
-        cand = ((h0 + j.astype(jnp.uint32)) & mask).astype(jnp.int32)
+        cand = ((h0 + _probe_off(j)) & mask).astype(jnp.int32)
         tk = key_table[cand]
         found = unresolved & (tk == ids)
         empty = unresolved & (tk == -1)          # key certainly absent
@@ -74,7 +84,8 @@ def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
 
 
 def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
-                     max_probes: int, capacity: int
+                     max_probes: int, capacity: int,
+                     unique_ids: bool = False
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched find-or-insert, split into a lookup phase and an insert phase.
 
@@ -133,7 +144,7 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         # the table as unreachable orphans (wasted capacity, never
         # incorrect — probes treat them as occupied).
         slotN, unresolved, claims, j = state
-        cand = ((h0 + j.astype(u32)) & mask).astype(i32)
+        cand = ((h0 + _probe_off(j)) & mask).astype(i32)
         tk = key_table[cand]
         claimed = ((claims[cand >> 5] >> (cand & 31).astype(u32)) & 1) != 0
         openslot = unresolved & (tk == -1) & ~claimed
@@ -174,6 +185,12 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     # ---- one table write for all inserts (claimed slots are unique) ------
     inserted = need & (slotN >= 0)
     table = scatter_set(key_table, slotN, inserted, [ids], C)
+    if unique_ids:
+        # caller guarantees active ids are distinct (both hot callers
+        # dedup first) — every inserted lane's claimed slot IS canonical,
+        # so the duplicate-redirect lookup below is a no-op; skip its
+        # while_loop (one full-lane probe pass per chain round)
+        return table, jnp.where(inserted, slotN, slot1), n_failed
     # redirect duplicates to the canonical (first-in-probe-order) slot
     slotR = lookup(table, ids, inserted, max_probes, C)
     slot = jnp.where(inserted, slotR, slot1)

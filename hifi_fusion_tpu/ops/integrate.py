@@ -190,41 +190,22 @@ def integrate_frame_impl(grid: GridState,
     budgets by K.  Overflows are counted exactly as in the per-frame path.
 
     ``dep_width_tiers`` (static tuple of widths, ascending) moves the
-    dependant-width variant choice ON DEVICE: the dispatch reads
-    ``max(dep_count)`` (one cheap reduction — dep counts only change
-    inside refine passes) and ``lax.switch``es into the narrowest listed
-    width that covers it, falling back to the full ``max_dependants``
-    width.  This replaces the host-side post-refine ``quick_counts``
-    fetch (one ~34 ms tunnel round-trip per refine cadence, PERF.md §5)
-    and is exact by the same argument as the host policy: a too-narrow
-    branch is simply never selected.
+    dependant-width variant choice ON DEVICE and makes it PER-BATCH: the
+    pair machinery is a ``lax.switch`` keyed on the maximum dependant
+    count among THIS batch's live cells (a (U,)-gather the pair path
+    needs anyway), so a handful of deep cells elsewhere in the table no
+    longer force every batch onto the full-width branch — the table-wide
+    max was observed at 9 (forcing D=12: 70 ms pair sort + 66 ms dep-row
+    gather per batch) while typical batch maxima sit at 6-8.  Exact by
+    construction: a branch narrower than the batch's own maximum is never
+    selected, and the full ``max_dependants`` width remains the fallback.
     """
     if dep_width_tiers:
         assert dep_width is None, \
             "dep_width and dep_width_tiers are mutually exclusive"
-        tiers = tuple(dep_width_tiers)
-        assert tuple(sorted(tiers)) == tiers and tiers[-1] <= \
-            config.max_dependants, f"bad dep_width_tiers {tiers}"
-        md = jnp.max(grid.dep_count[:config.capacity])
-        widths = list(tiers) + ([None] if tiers[-1] < config.max_dependants
-                                else [])
-        ix = jnp.searchsorted(jnp.asarray(tiers, jnp.int32), md,
-                              side="left").astype(jnp.int32)
-        ix = jnp.minimum(ix, len(widths) - 1)
-
-        def _mk(dw):
-            def _branch(g, pts, cols, msk, ps):
-                return integrate_frame_impl(
-                    g, pts, cols, msk, ps, config=config, offset=offset,
-                    pre_transformed=pre_transformed,
-                    extra_dropped=extra_dropped, quant=quant, rays=rays,
-                    active_lanes=active_lanes, unique_lanes=unique_lanes,
-                    pair_lanes=pair_lanes, hit_lanes=hit_lanes,
-                    dep_width=dw)
-            return _branch
-
-        return jax.lax.switch(ix, [_mk(w) for w in widths],
-                              grid, points_cam, rgb, mask, pose)
+        assert tuple(sorted(dep_width_tiers)) == tuple(dep_width_tiers) \
+            and dep_width_tiers[-1] <= config.max_dependants, \
+            f"bad dep_width_tiers {dep_width_tiers}"
 
     C = config.capacity
     D = config.max_dependants
@@ -326,7 +307,7 @@ def integrate_frame_impl(grid: GridState,
 
     # ---- find-or-insert the unique cells --------------------------------
     key_table, uslot, n_failed = hashing.lookup_or_insert(
-        grid.key, uids, uvalid, config.max_probes, C)
+        grid.key, uids, uvalid, config.max_probes, C, unique_ids=True)
 
     us = jnp.clip(uslot, 0, C - 1)
     uplaced = uvalid & (uslot >= 0)
@@ -437,116 +418,137 @@ def integrate_frame_impl(grid: GridState,
     #
     # ``dep_width`` (static) bounds the per-cell fan-in this dispatch
     # expands — the WHOLE pair lane space (the sort + every fill/scan/sum
-    # below) scales with it.  Dependant counts only grow during refine
-    # passes, so a session can read max(dep_count) after each refine and
-    # pick the narrowest compiled variant that covers it (bench.py does);
-    # cells with dep_cnt > dep_width have their excess pairs counted in
+    # below) scales with it.  With ``dep_width_tiers`` the width is chosen
+    # per BATCH by a lax.switch on max(dep_count) over the batch's own
+    # live cells (exact: a too-narrow branch is never selected); with an
+    # explicit ``dep_width`` a too-narrow pick counts its excess pairs in
     # overflow_hits (never silent).  Measured at the 1 mm bench config the
-    # live maximum is 6 vs the static D=12 — a 2x cut of the dominant
-    # integrate machinery.
+    # batch-live maximum is 6-9 vs the static D=12.
     scale = K if batched else 1
-    DW = min(dep_width if dep_width is not None else D, D)
-    UH = min(hit_lanes if hit_lanes is not None
-             else scale * config.max_hit_voxels, NA * DW)
-    dj_row = jnp.arange(DW, dtype=i32)[None, :]            # (1,DW)
-    udep_rows = grid.dep[us[:, None] * D + dj_row]         # (U,DW) row gather
     udep_cnt = grid.dep_count[us]                          # (U,)
-    # broadcast the DW dep slots + count to point lanes with ONE stacked
-    # segment fill ((DW+1) channels x NA) instead of (NA,DW) row gathers
-    dep_start = jnp.zeros((DW + 1, NA), i32).at[:, uorder].set(
-        jnp.concatenate([udep_rows.T, udep_cnt[None, :]], axis=0),
-        unique_indices=True)
-    dep_fill = segment_fill(dep_start, starts)             # (DW+1,NA)
-    dep_rows = dep_fill[:DW].T                             # (NA,DW)
-    dep_cnt_s = dep_fill[DW]
-    dvalid = (placed_s[:, None] & (dj_row < dep_cnt_s[:, None])
-              & (dep_rows >= 0))                           # (NA,DW)
-    # pairs beyond the dep_width window (a too-narrow variant was chosen);
-    # at full width dep_cnt <= D by construction (refine caps appends), so
-    # the guard exists only in narrowed variants (keeps the default HLO —
-    # and its persistent-cache entry — unchanged)
-    if DW < D:
-        n_wide = jnp.sum(jnp.where(placed_s,
-                                   jnp.maximum(dep_cnt_s - DW, 0), 0))
+
+    def _pair_block(DW):
+        """The whole pair path at static dependant width ``DW`` — every
+        lane space below (the (NA,DW) expansion, the pair sort, the fills,
+        scans, sums and the final scatter) scales with it."""
+        UH = min(hit_lanes if hit_lanes is not None
+                 else scale * config.max_hit_voxels, NA * DW)
+        dj_row = jnp.arange(DW, dtype=i32)[None, :]        # (1,DW)
+        udep_rows = grid.dep[us[:, None] * D + dj_row]     # (U,DW) row gather
+        # broadcast the DW dep slots + count to point lanes with ONE
+        # stacked segment fill ((DW+1) channels x NA) instead of (NA,DW)
+        # row gathers
+        dep_start = jnp.zeros((DW + 1, NA), i32).at[:, uorder].set(
+            jnp.concatenate([udep_rows.T, udep_cnt[None, :]], axis=0),
+            unique_indices=True)
+        dep_fill = segment_fill(dep_start, starts)         # (DW+1,NA)
+        dep_rows = dep_fill[:DW].T                         # (NA,DW)
+        dep_cnt_s = dep_fill[DW]
+        dvalid = (placed_s[:, None] & (dj_row < dep_cnt_s[:, None])
+                  & (dep_rows >= 0))                       # (NA,DW)
+        # pairs beyond the dep_width window: impossible when the width
+        # came from the per-batch switch (it covers the batch max), live
+        # only via an explicit too-narrow ``dep_width=`` (counted, never
+        # silent); at full width dep_cnt <= D by construction
+        if DW < D:
+            n_wide = jnp.sum(jnp.where(placed_s,
+                                       jnp.maximum(dep_cnt_s - DW, 0), 0))
+        else:
+            n_wide = 0
+
+        # sort pair lanes by owner slot, point coords riding as payloads;
+        # the sort also compacts ACTIVE pairs into a prefix, so the
+        # fill/scan/sum machinery below runs on the (much smaller) static
+        # pair budget
+        pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)  # (NA*DW,)
+        P = min(pair_lanes if pair_lanes is not None
+                else scale * config.max_stream_pairs, NA * DW)
+        n_pair = jnp.sum(dvalid.astype(i32))
+        ppx = jnp.broadcast_to(world_s[0][:, None], (NA, DW)).reshape(-1)
+        ppy = jnp.broadcast_to(world_s[1][:, None], (NA, DW)).reshape(-1)
+        ppz = jnp.broadcast_to(world_s[2][:, None], (NA, DW)).reshape(-1)
+        powner, px, py, pz = jax.lax.sort((pairkey, ppx, ppy, ppz),
+                                          num_keys=1, is_stable=True)
+        powner = powner[:P]
+        px_, py_, pz_ = px[:P], py[:P], pz[:P]
+        pvalid = powner != _BIG
+        pstarts = segment_starts(powner, pvalid)
+
+        # owner center/normal fetched at run STARTS only (<= UH random
+        # gathers), scattered to the start lanes and segment-filled across
+        # each run — never one random gather per pair lane.
+        sorder = jnp.argsort(~pstarts, stable=True)[:UH]
+        so_owner = powner[sorder]
+        oso = jnp.clip(so_owner, 0, C - 1)
+        so_center = geometry.center_of_ids(key_table[oso], config,
+                                           offset)         # (3,UH)
+        so_nrows = grid.normal[oso[:, None] * 3
+                               + jnp.arange(3, dtype=i32)[None, :]]  # (UH,3)
+        n_pstarts = jnp.sum(pstarts.astype(i32))
+        uh_lim = jnp.where(n_pstarts > UH, UH - 1, n_pstarts)
+        overflow_hits = (grid.overflow_hits
+                         + jnp.maximum(n_pstarts - uh_lim, 0)
+                         + jnp.maximum(n_pair - P, 0))
+        if DW < D:
+            overflow_hits = overflow_hits + n_wide
+
+        def _at_starts(vals):                              # (UH,) -> (P,)
+            # sorder is a permutation prefix => unique positions; rows
+            # past the real starts land on non-start lanes, never read
+            return jnp.zeros((P,), vals.dtype).at[sorder].set(
+                vals, unique_indices=True)
+
+        ofill = jnp.stack([_at_starts(so_center[0]),
+                           _at_starts(so_center[1]),
+                           _at_starts(so_center[2]),
+                           _at_starts(so_nrows[:, 0]),
+                           _at_starts(so_nrows[:, 1]),
+                           _at_starts(so_nrows[:, 2]),
+                           _at_starts(so_owner.astype(f32))], axis=0)  # (7,P)
+        ofill = segment_fill(ofill, pstarts)
+        o_center = ofill[0:3]
+        o_normal = ofill[3:6]
+        # a run whose start overflowed UH carries a stale fill — gate it
+        # out (counted in overflow_hits above)
+        fill_ok = ofill[6] == powner.astype(f32)
+
+        hq = jnp.stack([px_, py_, pz_], axis=0) - o_center
+        ht = jnp.sum(hq * o_normal, axis=0)                # scalar proj t
+        hr = hq - ht[None, :] * o_normal
+        hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))
+        hhit = pvalid & fill_ok & (hdist < config.cylinder_radius)
+        # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the run's
+        # constant normal, so only [t, t², d, d², 1] need summing — 5 scan
+        # channels instead of 9
+        vals5 = jnp.where(hhit[None, :], jnp.stack(
+            [ht, ht * ht, hdist, hdist * hdist,
+             jnp.ones((P,), f32)], axis=0), 0.0)
+        hsum5 = segment_sums(vals5, pstarts)
+
+        # run-END compaction, then ONE 5-component unique-scatter; end
+        # positions derive from the start positions (ops/scatter.py
+        # end_positions) instead of a second full-width partition sort
+        eorder2 = end_positions(sorder.astype(i32), n_pstarts,
+                                jnp.sum(pvalid.astype(i32)))
+        e_owner = powner[eorder2]
+        e_ok = jnp.arange(UH, dtype=i32) < uh_lim
+        e5 = hsum5[:, eorder2]                             # (5,UH)
+        return (scatter_add(grid.cyl_stats, e_owner, e_ok,
+                            [e5[r] for r in range(5)], C),
+                overflow_hits)
+
+    if dep_width_tiers:
+        widths = list(dep_width_tiers) + (
+            [D] if dep_width_tiers[-1] < D else [])
+        bmax = jnp.max(jnp.where(uplaced, udep_cnt, 0))
+        ix = jnp.minimum(
+            jnp.searchsorted(jnp.asarray(dep_width_tiers, i32), bmax,
+                             side="left").astype(i32), len(widths) - 1)
+        cyl_stats, overflow_hits = jax.lax.switch(
+            ix, [partial(_pair_block, w) for w in widths])
     else:
-        n_wide = 0
-
-    # sort pair lanes by owner slot, point coords riding as payloads; the
-    # sort also compacts ACTIVE pairs into a prefix, so the fill/scan/sum
-    # machinery below runs on the (much smaller) static pair budget
-    pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)   # (NA*DW,)
-    P = min(pair_lanes if pair_lanes is not None
-            else scale * config.max_stream_pairs, NA * DW)
-    n_pair = jnp.sum(dvalid.astype(i32))
-    ppx = jnp.broadcast_to(world_s[0][:, None], (NA, DW)).reshape(-1)
-    ppy = jnp.broadcast_to(world_s[1][:, None], (NA, DW)).reshape(-1)
-    ppz = jnp.broadcast_to(world_s[2][:, None], (NA, DW)).reshape(-1)
-    powner, px, py, pz = jax.lax.sort((pairkey, ppx, ppy, ppz),
-                                      num_keys=1, is_stable=True)
-    powner = powner[:P]
-    px, py, pz = px[:P], py[:P], pz[:P]
-    pvalid = powner != _BIG
-    pstarts = segment_starts(powner, pvalid)
-
-    # owner center/normal fetched at run STARTS only (<= UH random
-    # gathers), scattered to the start lanes and segment-filled across
-    # each run — never one random gather per pair lane.
-    sorder = jnp.argsort(~pstarts, stable=True)[:UH]
-    so_owner = powner[sorder]
-    oso = jnp.clip(so_owner, 0, C - 1)
-    so_center = geometry.center_of_ids(key_table[oso], config,
-                                       offset)             # (3,UH)
-    so_nrows = grid.normal[oso[:, None] * 3
-                           + jnp.arange(3, dtype=i32)[None, :]]  # (UH,3)
-    n_pstarts = jnp.sum(pstarts.astype(i32))
-    uh_lim = jnp.where(n_pstarts > UH, UH - 1, n_pstarts)
-    overflow_hits = (grid.overflow_hits
-                     + jnp.maximum(n_pstarts - uh_lim, 0)
-                     + jnp.maximum(n_pair - P, 0))
-    if DW < D:
-        overflow_hits = overflow_hits + n_wide
-
-    def _at_starts(vals):                                  # (UH,) -> (P,)
-        # sorder is a permutation prefix => unique positions; rows past
-        # the real starts land on non-start lanes and are never read
-        return jnp.zeros((P,), vals.dtype).at[sorder].set(
-            vals, unique_indices=True)
-
-    ofill = jnp.stack([_at_starts(so_center[0]), _at_starts(so_center[1]),
-                       _at_starts(so_center[2]), _at_starts(so_nrows[:, 0]),
-                       _at_starts(so_nrows[:, 1]),
-                       _at_starts(so_nrows[:, 2]),
-                       _at_starts(so_owner.astype(f32))], axis=0)   # (7,P)
-    ofill = segment_fill(ofill, pstarts)
-    o_center = ofill[0:3]
-    o_normal = ofill[3:6]
-    # a run whose start overflowed UH carries a stale fill — gate it out
-    # (counted in overflow_hits above)
-    fill_ok = ofill[6] == powner.astype(f32)
-
-    hq = jnp.stack([px, py, pz], axis=0) - o_center
-    ht = jnp.sum(hq * o_normal, axis=0)                    # scalar proj t
-    hr = hq - ht[None, :] * o_normal
-    hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))
-    hhit = pvalid & fill_ok & (hdist < config.cylinder_radius)
-    # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the run's
-    # constant normal, so only [t, t², d, d², 1] need summing — 5 scan
-    # channels instead of 9
-    vals5 = jnp.where(hhit[None, :], jnp.stack(
-        [ht, ht * ht, hdist, hdist * hdist,
-         jnp.ones((P,), f32)], axis=0), 0.0)
-    hsum5 = segment_sums(vals5, pstarts)
-
-    # run-END compaction, then ONE 5-component unique-scatter; end
-    # positions derive from the start positions (ops/scatter.py
-    # end_positions) instead of a second full-width partition sort
-    eorder2 = end_positions(sorder.astype(i32), n_pstarts,
-                            jnp.sum(pvalid.astype(i32)))
-    e_owner = powner[eorder2]
-    e_ok = jnp.arange(UH, dtype=i32) < uh_lim
-    e5 = hsum5[:, eorder2]                                 # (5,UH)
-    cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
-                            [e5[r] for r in range(5)], C)
+        cyl_stats, overflow_hits = _pair_block(
+            min(dep_width if dep_width is not None else D, D))
 
     return grid._replace(
         key=key_table,

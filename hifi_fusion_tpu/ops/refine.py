@@ -60,7 +60,7 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
 def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                      offset=None, replay_lanes=None, cand_lanes=None,
                      buf_lanes=None, replay_runs=None,
-                     tiers=None) -> GridState:
+                     tiers=None, replay_tiers=None) -> GridState:
     """Budget overrides (all static, smaller-or-equal to the config bounds;
     ``None`` = the config value) let steady-state passes run on live-count-
     sized lane spaces instead of worst-case ones — the round-1 trace showed
@@ -110,7 +110,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                     cand_lanes=budget[0], buf_lanes=budget[1],
                     replay_runs=budget[2], replay_lanes=budget[3])
                 return refine_pass_impl(g, config=config, offset=offset,
-                                        **kw)
+                                        replay_tiers=replay_tiers, **kw)
             return _branch
 
         return jax.lax.switch(ix, [_mk(t) for t in tiers] + [_mk(None)],
@@ -238,10 +238,34 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # find-or-insert the line cells; fresh slots get only their key ->
     # ghost semantics (occupied stays False) match the reference's ghost
     # VoxelInfo (occupied=false, data set).
-    key_table, lslot, _ = hashing.lookup_or_insert(
-        grid.key, lids.reshape(-1), lp_valid.reshape(-1),
-        config.max_probes, C)
-    lslot = lslot.reshape(L, U)
+    #
+    # DEDUPLICATED first: nearby candidates' line windows overlap heavily
+    # (the same ghost cell is targeted by tens of owners in one pass), and
+    # duplicate ids probe the insert claims-bitmap in lockstep, each
+    # claiming the NEXT slot in its chain — the bench's first refine
+    # measured a 35-round insert while_loop (3.3 s of the 4.7 s pass) from
+    # exactly this.  Inserting one id per distinct cell keeps probe chains
+    # at the table's natural load factor (~3 rounds); slots broadcast back
+    # through the standard sort -> run-start scatter -> segment-fill ->
+    # unsort-scatter discipline (all streaming ops).
+    L2f = L * U
+    flat_lid = jnp.where(lp_valid.reshape(-1), lids.reshape(-1), _BIG)
+    sid_l, slane = jax.lax.sort(
+        (flat_lid, jnp.arange(L2f, dtype=i32)), num_keys=1, is_stable=True)
+    lvalid_s = sid_l != _BIG
+    lustarts = segment_starts(sid_l, lvalid_s)
+    luorder = jnp.argsort(~lustarts, stable=True)
+    key_table, luslot, lu_failed = hashing.lookup_or_insert(
+        grid.key, sid_l[luorder], lustarts[luorder],
+        config.max_probes, C, unique_ids=True)
+    lslot_s = segment_fill(
+        jnp.zeros((L2f,), i32).at[luorder].set(
+            jnp.where(lustarts[luorder], luslot, -1),
+            unique_indices=True),
+        lustarts)
+    lslot = jnp.zeros((L2f,), i32).at[slane].set(
+        jnp.where(lvalid_s, lslot_s, -1),
+        unique_indices=True).reshape(L, U)
     pair_ok = lp_valid & (lslot >= 0)
     # A diagonal normal can revisit a cell on consecutive steps; the
     # reference registers each visit, so duplicates are kept for parity.
@@ -365,75 +389,102 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     lpos = jnp.cumsum(l_cnt)
     lofs = lpos - l_cnt
     t_rep = lpos[-1]
-    overflow_replay = overflow_replay + jnp.maximum(t_rep - R2, 0)
-
-    # expand links into pair-point lanes: scatter link records at each
-    # link's first lane (offsets are unique among links with l_cnt > 0),
-    # then segment-fill them across the link's run
-    lok = lvalid & (lofs < R2)
-    zr = jnp.zeros((R2 + L2,), i32)
-    markb = scatter_set(jnp.zeros((R2 + L2,), jnp.bool_), lofs, lok,
-                        [jnp.ones((L2,), jnp.bool_)], R2)[:R2]
-    ch_start = scatter_set(zr, lofs, lok, [l_start], R2)[:R2]
-    ch_ofs = scatter_set(zr, lofs, lok, [lofs], R2)[:R2]
-    ch_own = scatter_set(zr, lofs, lok, [lk], R2)[:R2]
-    fills = segment_fill(jnp.stack([ch_start, ch_ofs, ch_own]),
-                         markb)                                   # (3,R2)
-    lane = jnp.arange(R2, dtype=i32)
-    rvalid = lane < jnp.minimum(t_rep, R2)
-    pidx = jnp.clip(fills[0] + (lane - fills[1]), 0, BL - 1)
-    rowner = jnp.where(rvalid, fills[2], _BIG)
-
-    # owner center/normal: gathered once per OWNER (first link of each
-    # owner run — every valid link has points, so its first lane IS the
-    # owner's first replay lane), scattered there and segment-filled.
-    # A per-lane ``center[:, u]`` gather costs ~30 ns/elem at R2 lanes
-    # (1.2 s/pass measured); this path is ~30 ms.
     l_first = segment_starts(lk, lvalid)
-    OB = min(U, L2)
-    forder = jnp.argsort(~l_first, stable=True)[:OB]
-    fl_u = jnp.clip(l_u[forder], 0, U - 1)
-    fl_ok = l_first[forder] & (lofs[forder] < R2)
-    fl_ofs = lofs[forder]
-    marko = scatter_set(jnp.zeros((R2 + OB,), jnp.bool_), fl_ofs, fl_ok,
-                        [jnp.ones((OB,), jnp.bool_)], R2)[:R2]
-    zf = jnp.zeros((R2 + OB,), f32)
-    ocols = [center[0][fl_u], center[1][fl_u], center[2][fl_u],
-             nvec[0][fl_u], nvec[1][fl_u], nvec[2][fl_u]]
-    ofill = segment_fill(jnp.stack(
-        [scatter_set(zf, fl_ofs, fl_ok, [c], R2)[:R2] for c in ocols]),
-        marko)                                                    # (6,R2)
 
-    r_pt = jnp.stack([bx[pidx], by[pidx], bz[pidx]], axis=0)      # (3,R2)
-    r_center = ofill[0:3]
-    r_normal = ofill[3:6]
-    rq = r_pt - r_center
-    rt = jnp.sum(rq * r_normal, axis=0)                    # scalar proj t
-    rr = rq - rt[None, :] * r_normal
-    rdist = jnp.sqrt(jnp.sum(rr * rr, axis=0))
-    rhit = rvalid & (rdist < config.cylinder_radius)
-    # scalar sum form, matching integrate (grid.py cyl_stats)
-    vals5 = jnp.where(rhit[None, :], jnp.stack(
-        [rt, rt * rt, rdist, rdist * rdist,
-         jnp.ones((R2,), f32)], axis=0), 0.0)
-    rstarts = segment_starts(rowner, rvalid)
-    rends = segment_ends(rowner, rvalid)
-    rsum5 = segment_sums(vals5, rstarts)
-    # Replay owners are always THIS pass's gated candidates, so the
-    # end-compaction bound is max_refine_candidates — NOT max_hit_voxels
-    # (which bounds per-frame stream owners).  With the smaller bound the
-    # highest-slot owner runs were silently dropped whenever a pass
-    # replayed more owners than the bound (2,812 voxels lost their entire
-    # replay at the 1 mm bench config's first refine).
-    UH = min(U, R2)
-    n_rends = jnp.sum(rends.astype(i32))
-    overflow_replay = overflow_replay + jnp.maximum(n_rends - UH, 0)
-    eorder2 = jnp.argsort(~rends, stable=True)[:UH]
-    eo_slot = rowner[eorder2]
-    emask2 = rends[eorder2]
-    esum5 = rsum5[:, eorder2]
-    cyl_stats = scatter_add(grid.cyl_stats, eo_slot, emask2,
-                            [esum5[r] for r in range(5)], C)
+    def _replay_block(R2b):
+        """Replay expansion at static pair-point width ``R2b`` — every
+        lane space below (link-record scatters, fills, point gathers,
+        cylinder sums, end compaction) scales with it."""
+        # expand links into pair-point lanes: scatter link records at
+        # each link's first lane (offsets are unique among links with
+        # l_cnt > 0), then segment-fill them across the link's run
+        lok = lvalid & (lofs < R2b)
+        zr = jnp.zeros((R2b + L2,), i32)
+        markb = scatter_set(jnp.zeros((R2b + L2,), jnp.bool_), lofs, lok,
+                            [jnp.ones((L2,), jnp.bool_)], R2b)[:R2b]
+        ch_start = scatter_set(zr, lofs, lok, [l_start], R2b)[:R2b]
+        ch_ofs = scatter_set(zr, lofs, lok, [lofs], R2b)[:R2b]
+        ch_own = scatter_set(zr, lofs, lok, [lk], R2b)[:R2b]
+        fills = segment_fill(jnp.stack([ch_start, ch_ofs, ch_own]),
+                             markb)                               # (3,R2b)
+        lane = jnp.arange(R2b, dtype=i32)
+        rvalid = lane < jnp.minimum(t_rep, R2b)
+        pidx = jnp.clip(fills[0] + (lane - fills[1]), 0, BL - 1)
+        rowner = jnp.where(rvalid, fills[2], _BIG)
+
+        # owner center/normal: gathered once per OWNER (first link of
+        # each owner run — every valid link has points, so its first lane
+        # IS the owner's first replay lane), scattered there and
+        # segment-filled.  A per-lane ``center[:, u]`` gather costs
+        # ~30 ns/elem at R2 lanes (1.2 s/pass measured); this is ~30 ms.
+        OB = min(U, L2)
+        forder = jnp.argsort(~l_first, stable=True)[:OB]
+        fl_u = jnp.clip(l_u[forder], 0, U - 1)
+        fl_ok = l_first[forder] & (lofs[forder] < R2b)
+        fl_ofs = lofs[forder]
+        marko = scatter_set(jnp.zeros((R2b + OB,), jnp.bool_), fl_ofs,
+                            fl_ok, [jnp.ones((OB,), jnp.bool_)],
+                            R2b)[:R2b]
+        zf = jnp.zeros((R2b + OB,), f32)
+        ocols = [center[0][fl_u], center[1][fl_u], center[2][fl_u],
+                 nvec[0][fl_u], nvec[1][fl_u], nvec[2][fl_u]]
+        ofill = segment_fill(jnp.stack(
+            [scatter_set(zf, fl_ofs, fl_ok, [c], R2b)[:R2b]
+             for c in ocols]),
+            marko)                                                # (6,R2b)
+
+        r_pt = jnp.stack([bx[pidx], by[pidx], bz[pidx]], axis=0)  # (3,R2b)
+        r_center = ofill[0:3]
+        r_normal = ofill[3:6]
+        rq = r_pt - r_center
+        rt = jnp.sum(rq * r_normal, axis=0)                # scalar proj t
+        rr = rq - rt[None, :] * r_normal
+        rdist = jnp.sqrt(jnp.sum(rr * rr, axis=0))
+        rhit = rvalid & (rdist < config.cylinder_radius)
+        # scalar sum form, matching integrate (grid.py cyl_stats)
+        vals5 = jnp.where(rhit[None, :], jnp.stack(
+            [rt, rt * rt, rdist, rdist * rdist,
+             jnp.ones((R2b,), f32)], axis=0), 0.0)
+        rstarts = segment_starts(rowner, rvalid)
+        rends = segment_ends(rowner, rvalid)
+        rsum5 = segment_sums(vals5, rstarts)
+        # Replay owners are always THIS pass's gated candidates, so the
+        # end-compaction bound is max_refine_candidates — NOT
+        # max_hit_voxels (which bounds per-frame stream owners).  With the
+        # smaller bound the highest-slot owner runs were silently dropped
+        # whenever a pass replayed more owners than the bound (2,812
+        # voxels lost their entire replay at the 1 mm bench config's
+        # first refine).
+        UH = min(U, R2b)
+        n_rends = jnp.sum(rends.astype(i32))
+        eorder2 = jnp.argsort(~rends, stable=True)[:UH]
+        eo_slot = rowner[eorder2]
+        emask2 = rends[eorder2]
+        esum5 = rsum5[:, eorder2]
+        ovf = (jnp.maximum(t_rep - R2b, 0)
+               + jnp.maximum(n_rends - UH, 0))
+        return (scatter_add(grid.cyl_stats, eo_slot, emask2,
+                            [esum5[r] for r in range(5)], C), ovf)
+
+    # ``replay_tiers`` (static, ascending) switches the replay expansion
+    # on the LIVE pair-point total t_rep — known only mid-pass, so the
+    # outer (cand, buf) tier choice cannot size it.  Exact: a tier is
+    # selected only when t_rep fits it, so tiering never adds overflow;
+    # lane order inside runs is unchanged, so sums stay bit-identical.
+    # Steady-state replays are near-empty while the budget R2 machinery
+    # (3 random point gathers + fills + sums at R2 lanes) dominated the
+    # pass (PERF.md §5) — mid-sweep refines with modest replays ran the
+    # full 2^22-lane expansion for ~2^20 live points.
+    eff = tuple(t for t in (replay_tiers or ()) if t < R2) + (R2,)
+    if len(eff) > 1:
+        ixr = jnp.minimum(
+            jnp.searchsorted(jnp.asarray(eff[:-1], i32), t_rep,
+                             side="left").astype(i32), len(eff) - 1)
+        cyl_stats, ovf_rep = jax.lax.switch(
+            ixr, [partial(_replay_block, t) for t in eff])
+    else:
+        cyl_stats, ovf_rep = _replay_block(R2)
+    overflow_replay = overflow_replay + ovf_rep
 
     # --- buffer reclamation (post-replay) ---------------------------------
     # Lanes whose voxel now has a normal are frozen (integrate stops
@@ -489,6 +540,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         buf_count=buf_count,
         reclaimed=reclaimed,
         overflow_dep=overflow_dep,
+        overflow_probe=grid.overflow_probe + lu_failed,
         overflow_refine=overflow_refine,
         overflow_replay=grid.overflow_replay + overflow_replay,
     )
@@ -497,5 +549,6 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
 refine_pass = partial(jax.jit,
                       static_argnames=("config", "replay_lanes",
                                        "cand_lanes", "buf_lanes",
-                                       "replay_runs", "tiers"),
+                                       "replay_runs", "tiers",
+                                       "replay_tiers"),
                       donate_argnames=("grid",))(refine_pass_impl)

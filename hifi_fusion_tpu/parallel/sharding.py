@@ -198,7 +198,8 @@ class ShardedFusion:
                  out_specs=state_spec)
         def _refine(grid):
             return _wrap(refine_pass_impl(_unwrap(grid), config=cfg,
-                                          offset=dev_offset()))
+                                          offset=dev_offset(),
+                                          tiers=cfg.refine_tiers or None))
 
         @jax.jit
         @partial(shard_map, mesh=self.mesh, in_specs=(state_spec,),

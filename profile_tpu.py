@@ -28,7 +28,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from bench import (BATCH, BATCH_HITS, BATCH_PAIRS, BATCH_UNIQUE,
-                      DW_TIERS, EXTRACT_CAP, REFINE_TIERS, STEADY_DW,
+                      DW_TIERS, EXTRACT_CAP, REFINE_TIERS, REPLAY_TIERS,
+                      STEADY_DW,
                       bench_config, bench_rays)
     from hifi_fusion_tpu.grid import make_grid, quick_counts
     from hifi_fusion_tpu.ops.extract import extract
@@ -80,7 +81,8 @@ def main():
     fetch(grid)
     log(f"batched integrate compile+run: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
     fetch(grid)
     log(f"tiered refine compile+run: {time.monotonic()-t0:.1f}s")
 
@@ -96,7 +98,8 @@ def main():
 
     # refine over the full pre-normal history (tier-escalates on device)
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
     fetch(grid)
     log(f"tiered refine (first, full history): "
         f"{(time.monotonic()-t0)*1000:.1f} ms")
@@ -109,7 +112,8 @@ def main():
         fetch(grid)
         dt = time.monotonic() - t0
         ti = time.monotonic()
-        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
         fetch(grid)
         tr = time.monotonic() - ti
         log(f"round {r}: integrate {dt/n_frames*1000:.1f} ms/frame "
@@ -152,7 +156,8 @@ def main():
             grid = bstep(grid, 0)
             fetch(grid)
         with jax.profiler.trace(os.path.join(base, "refine_tiered")):
-            grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+            grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
             fetch(grid)
         with jax.profiler.trace(os.path.join(base, "extract")):
             r2 = extract(grid, config=cfg, cap=EXTRACT_CAP)

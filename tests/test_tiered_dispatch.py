@@ -122,3 +122,22 @@ def test_combined_tiers_end_to_end():
     qc = quick_counts(combined, CFG)
     assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
     _assert_state_equal(_fuse(), combined)
+
+
+def test_replay_tiers_bit_identical():
+    # the inner replay-expansion switch (on live t_rep) must be bit-exact
+    # vs the single full-width replay block, with zero overflow (a tier is
+    # selected only when t_rep fits it)
+    tiered = _fuse(refine_kw=dict(replay_tiers=(64, 1024)))
+    qc = quick_counts(tiered, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(_fuse(), tiered)
+
+
+def test_replay_tiers_compose_with_outer_tiers():
+    combined = _fuse(refine_kw=dict(tiers=(TINY, STEADY),
+                                    replay_tiers=(64, 1024)),
+                     integrate_kw=dict(dep_width_tiers=(2,)))
+    qc = quick_counts(combined, CFG)
+    assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
+    _assert_state_equal(_fuse(), combined)

@@ -105,9 +105,10 @@ def main():
     # the device-tiered refine program bench.py dispatches every cadence
     # (steady + mid + full-fallback branches in ONE executable), plus the
     # plain full-budget program (--verify / session / library path)
-    from bench import REFINE_TIERS, EXTRACT_CAP
+    from bench import REFINE_TIERS, REPLAY_TIERS, EXTRACT_CAP
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS)
+    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
+                           replay_tiers=REPLAY_TIERS)
     np.asarray(grid.frames)
     log(f"refine_pass@bench tiers={REFINE_TIERS}: "
         f"{time.monotonic()-t0:.1f}s")
