@@ -12,8 +12,8 @@ sorted-unique scatter discipline (see ops/scatter.py — random scatter on TPU
 is ~1000x slower than sorted scatter, so insertion is implemented with a
 per-round *sort election* instead of a scatter-min claim):
 
-1. round candidates ``cand = (h(id)+j) & (C-1)``; lanes whose slot already
-   holds their id resolve;
+1. round candidates ``cand = (h(id) + j(j+1)/2) & (C-1)`` (quadratic
+   probing); lanes whose slot already holds their id resolve;
 2. lanes seeing an empty slot stable-sort by candidate; the first lane of
    each candidate run wins (deterministic: input order breaks ties);
 3. winners (unique candidates by construction) are written with ONE
@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .scatter import scatter_set, segment_reduce
+from .scatter import scatter_set
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -103,13 +103,13 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
       ``while_loop`` whose carry is only (slot, unresolved, j); the table
       is a closure constant read by gathers.  A lane stops at its id or at
       the first empty slot (id certainly absent).
-    * **insert phase**: absent ids probe with a *claims bitmap* (u32[C/32],
-      the only mutable carry — 512 KB at C=2^22, not 25 MB).  Per round,
-      lanes seeing an empty-and-unclaimed slot stable-sort-elect a winner
-      per candidate (deterministic: input order breaks ties); winners set
-      their claim bit (word-grouped OR + one unique scatter) and resolve;
-      losers and blocked lanes continue to probe j+1 — exactly the probe
-      order of the round-1 algorithm, so the table layouts match.
+    * **insert phase**: absent ids probe with a per-slot bool *claims
+      array* (the only mutable carry — ~4 MB at C=2^22, not the 25 MB
+      table).  Per round, lanes seeing an empty-and-unclaimed slot
+      stable-sort-elect a winner per candidate (deterministic: input
+      order breaks ties); winners mark their claim (ONE unique-index
+      scatter — winners hold distinct slots by construction) and resolve;
+      losers and blocked lanes continue with the next probe offset.
     * the table is written ONCE at the end: resolved inserts scatter their
       ids to their (unique) claimed slots.
     """
@@ -120,15 +120,19 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     mask = jnp.uint32(C - 1)
     h0 = hash_u32(ids)
     i32 = jnp.int32
-    u32 = jnp.uint32
 
     # ---- phase 1: lookup (small carry; table closed over) ----------------
     slot1 = lookup(key_table, ids, active, max_probes, C)
     need = active & (slot1 < 0)
 
-    # ---- phase 2: claims-bitmap insert over the absent lanes -------------
-    W = max(C // 32, 1)   # >= 1 word so tiny test capacities still index
-    claims0 = jnp.zeros((W,), u32)
+    # ---- phase 2: claims-array insert over the absent lanes ---------------
+    # Claims are one BOOL per slot (C+U with a masked-lane scratch tail,
+    # ~4 MB at C=2^22) rather than a packed u32 bitmap: winners hold
+    # unique slots by construction, so marking a claim is ONE unique-index
+    # scatter — the bitmap form needed a word-grouping OR-ladder (a
+    # segmented scan) plus a read-modify-write every round, which
+    # dominated the round cost at refine's 1.8M-lane inserts.
+    claims0 = jnp.zeros((C + U,), jnp.bool_)
     slotN0 = jnp.full((U,), -1, i32)
 
     def cond(state):
@@ -138,16 +142,15 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     def body(state):
         # NB on duplicates: duplicates share h0 and probe in lockstep; the
         # stable election lets exactly one win and the rest claim LATER
-        # slots in the probe chain (they see the claim bit as
+        # slots in the probe chain (they see the claim as
         # occupied-by-other).  The final re-lookup below redirects them all
         # to the first slot in probe order; the extra claimed slots stay in
-        # the table as unreachable orphans (wasted capacity, never
+        # the table as duplicate-id entries (wasted capacity, never
         # incorrect — probes treat them as occupied).
         slotN, unresolved, claims, j = state
         cand = ((h0 + _probe_off(j)) & mask).astype(i32)
         tk = key_table[cand]
-        claimed = ((claims[cand >> 5] >> (cand & 31).astype(u32)) & 1) != 0
-        openslot = unresolved & (tk == -1) & ~claimed
+        openslot = unresolved & (tk == -1) & ~claims[cand]
         ckey = jnp.where(openslot, cand, _BIG)
         order = jnp.argsort(ckey, stable=True)
         scand = ckey[order]
@@ -159,23 +162,10 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
             win_s, unique_indices=True)
         slotN = jnp.where(winner, cand, slotN)
         unresolved = unresolved & ~winner
-        # group claim bits by WORD over all contender lanes (scand ascends,
-        # so equal words are contiguous there; loser lanes contribute 0-bits
-        # but keep the runs adjacent), then one unique scatter at word-run
-        # ends — two winners sharing a word must fold into one write
-        word = jnp.where(contend, scand >> 5, _BIG)
-        bit = jnp.where(win_s, u32(1) << (scand & 31).astype(u32), u32(0))
-        prev = jnp.concatenate([jnp.full((1,), _BIG, word.dtype), word[:-1]])
-        nxt = jnp.concatenate([word[1:], jnp.full((1,), _BIG, word.dtype)])
-        starts = contend & (word != prev)
-        ends = contend & (word != nxt)
-        orbits = segment_reduce(bit, starts, jnp.bitwise_or, kind="or")
-        old = claims[jnp.clip(word, 0, W - 1)]
-        # pad claims with a U-lane scratch tail for masked lanes
-        widx = jnp.where(ends, word, W + jnp.arange(U, dtype=i32))
-        claims = jnp.concatenate([claims, jnp.zeros((U,), u32)]).at[
-            widx].set(jnp.where(ends, old | orbits, u32(0)),
-                      unique_indices=True)[:W]
+        # winners' cands are unique -> one masked unique-index scatter
+        # (losers write a per-lane scratch-tail slot past C)
+        widx = jnp.where(winner, cand, C + jnp.arange(U, dtype=i32))
+        claims = claims.at[widx].set(True, unique_indices=True)
         return slotN, unresolved, claims, j + 1
 
     slotN, unresolvedN, _, _ = jax.lax.while_loop(
