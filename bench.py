@@ -61,7 +61,10 @@ REFINE_EVERY = 8
 # 37 MB/s tunnel); with the depth wire (1.23 MB/frame) K=4 stacks stage
 # in ~130 ms against ~300 ms compute and batching wins: measured
 # 2026-08-18 on v5e, K=4 depth = 1.30 Mpts/s vs K=1 depth = 0.99.
-BATCH = int(os.environ.get("BENCH_BATCH", 4))
+# After the probe/dedup/tier work K=8 wins again over K=4 (3.14 vs 2.55
+# Mpts/s at 104/100 frames): the per-batch fixed machinery halves once
+# more while the staging thread still hides the 9.8 MB batch transfer.
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 
 # Refine budget tiers + extract cap (warm_cache.py warms exactly these).
 # Tier selection happens ON DEVICE (ops/refine.py ``tiers``): the pass
@@ -99,7 +102,10 @@ if BATCH > 1 and WIRE == "q16":
 # single-frame width.  Overflow counters guard the bound as always.
 BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 1 << 18))
 BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 1 << 18))
-BATCH_PAIRS = int(os.environ.get("BENCH_BATCH_PAIRS", 1 << 23))
+# Pair budget at K=8: live pairs on the bench sweep peak ~9.3M (avg
+# dep fan-in is ~5, not the max 7) — 10M covers with margin and the
+# zero-overflow assert guards the bound.
+BATCH_PAIRS = int(os.environ.get("BENCH_BATCH_PAIRS", 10 * (1 << 20)))
 # Camera focal length for the depth wire (pixels).  Chosen so the sweep's
 # DENSITY matches the q16/f32 sweeps and the round-1 baseline workload:
 # ~95-105k distinct 1 mm cells per 640x480 frame, i.e. ~2 pixels per
