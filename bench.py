@@ -379,8 +379,12 @@ def run_tpu(cfg, frames):
 
     def refine_due(done, refines):
         """Refine cadence: every 4 frames while the surface fills (first
-        2 cadences), then every REFINE_EVERY."""
+        2 cadences), then every REFINE_EVERY.  With K-frame batching the
+        cadence can only fire at batch boundaries; early marks inside one
+        batch would trigger back-to-back passes (the second seeing zero
+        new candidates), so marks below BATCH collapse into one."""
         early = [4, 8] if REFINE_EVERY >= 8 else []
+        early = sorted({max(m, BATCH) for m in early})
         marks = [m for m in early if m <= done]
         marks += list(range(REFINE_EVERY * 2, done + 1, REFINE_EVERY))
         return len([m for m in marks if m <= done]) > refines

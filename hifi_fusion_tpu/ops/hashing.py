@@ -22,6 +22,18 @@ per-round *sort election* instead of a scatter-min claim):
 
 With per-frame-deduplicated inputs at load factor <= 0.5 this converges in
 ~1-3 rounds; the loop exits early when every lane is resolved.
+
+STAGED PROBING: a ``while_loop`` round costs full-lane-space work (carry
+copies, gathers, the election argsort) no matter how few lanes remain
+unresolved — the bench's early refine passes measured ~10 rounds over a
+917k-lane line-cell insert where rounds 4+ served only a handful of
+straggler lanes (~0.5 s/pass of while machinery).  Both phases therefore
+run a fixed UNROLLED prefix of rounds at full width (no while_loop at
+all on the common path), then compact the unresolved stragglers into a
+small static lane space and finish the probe loop there.  Bit-identical
+to the single-loop form: a resolved lane never contends again, so round
+j's election among stragglers sees exactly the same contenders either
+way, and the stable compaction preserves the lane-order tie-break.
 """
 
 from __future__ import annotations
@@ -34,6 +46,14 @@ import jax.numpy as jnp
 from .scatter import scatter_set
 
 _BIG = jnp.iinfo(jnp.int32).max
+
+_UNROLL = 2                 # full-width probe rounds before compaction
+# Straggler budget: election losers after round 0 of an I-lane insert
+# burst into a C-slot table are ~I^2/2C (the bench's first refine: ~500k
+# line-cell inserts into 2^22 slots -> ~30k losers, ~8.4k still
+# unresolved after round 1 — measured via overflow_probe=220 at 2^13).
+# 2^15 covers that worst observed burst 4x over; overruns stay counted.
+_STRAGGLERS = 1 << 15       # compacted lane budget for the tail rounds
 
 
 def hash_u32(x: jax.Array) -> jax.Array:
@@ -83,6 +103,59 @@ def lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     return slot
 
 
+def _staged_lookup(key_table: jax.Array, ids: jax.Array, active: jax.Array,
+                   max_probes: int, capacity: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Lookup with ``_UNROLL`` fixed full-width rounds + a compacted
+    straggler loop.  Returns ``(slot, gaveup)``: ``gaveup`` lanes exceeded
+    the straggler budget mid-probe — they are NOT known absent, so callers
+    must not insert them (a duplicate-id slot would silently split a
+    voxel's statistics); ``lookup_or_insert`` counts them as failures."""
+    U = ids.shape[0]
+    S = _STRAGGLERS
+    i32 = jnp.int32
+    if U <= 2 * S or max_probes <= _UNROLL:
+        return (lookup(key_table, ids, active, max_probes, capacity),
+                jnp.zeros(ids.shape, jnp.bool_))
+    mask = jnp.uint32(capacity - 1)
+    h0 = hash_u32(ids)
+    slot = jnp.full(ids.shape, -1, i32)
+    unresolved = active
+    for j in range(_UNROLL):
+        cand = ((h0 + _probe_off(jnp.uint32(j))) & mask).astype(i32)
+        tk = key_table[cand]
+        found = unresolved & (tk == ids)
+        empty = unresolved & (tk == -1)
+        slot = jnp.where(found, cand, slot)
+        unresolved = unresolved & ~found & ~empty
+    rank = jnp.cumsum(unresolved.astype(i32)) - 1
+    gaveup = unresolved & (rank >= S)
+    sorder = jnp.argsort(~unresolved, stable=True)[:S]
+    s_act = unresolved[sorder]
+    s_ids = ids[sorder]
+    s_h0 = hash_u32(s_ids)
+
+    def cond(st):
+        _, unres, j = st
+        return jnp.logical_and(jnp.any(unres), j < max_probes)
+
+    def body(st):
+        sl, unres, j = st
+        cand = ((s_h0 + _probe_off(j)) & mask).astype(i32)
+        tk = key_table[cand]
+        found = unres & (tk == s_ids)
+        empty = unres & (tk == -1)
+        sl = jnp.where(found, cand, sl)
+        return sl, unres & ~found & ~empty, j + 1
+
+    s_slot, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.full((S,), -1, i32), s_act,
+                     jnp.uint32(_UNROLL)))
+    slot = slot.at[sorder].set(jnp.where(s_act, s_slot, slot[sorder]),
+                               unique_indices=True)
+    return slot, gaveup
+
+
 def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
                      max_probes: int, capacity: int,
                      unique_ids: bool = False
@@ -122,8 +195,8 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     i32 = jnp.int32
 
     # ---- phase 1: lookup (small carry; table closed over) ----------------
-    slot1 = lookup(key_table, ids, active, max_probes, C)
-    need = active & (slot1 < 0)
+    slot1, gaveup = _staged_lookup(key_table, ids, active, max_probes, C)
+    need = active & (slot1 < 0) & ~gaveup
 
     # ---- phase 2: claims-array insert over the absent lanes ---------------
     # Claims are one BOOL per slot (C+U with a masked-lane scratch tail,
@@ -135,11 +208,7 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
     claims0 = jnp.zeros((C + U,), jnp.bool_)
     slotN0 = jnp.full((U,), -1, i32)
 
-    def cond(state):
-        _, unresolved, _, j = state
-        return jnp.logical_and(jnp.any(unresolved), j < max_probes)
-
-    def body(state):
+    def _round(slotN, unresolved, claims, j, lane_h0, n_lanes):
         # NB on duplicates: duplicates share h0 and probe in lockstep; the
         # stable election lets exactly one win and the rest claim LATER
         # slots in the probe chain (they see the claim as
@@ -147,8 +216,7 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         # to the first slot in probe order; the extra claimed slots stay in
         # the table as duplicate-id entries (wasted capacity, never
         # incorrect — probes treat them as occupied).
-        slotN, unresolved, claims, j = state
-        cand = ((h0 + _probe_off(j)) & mask).astype(i32)
+        cand = ((lane_h0 + _probe_off(j)) & mask).astype(i32)
         tk = key_table[cand]
         openslot = unresolved & (tk == -1) & ~claims[cand]
         ckey = jnp.where(openslot, cand, _BIG)
@@ -158,19 +226,62 @@ def lookup_or_insert(key_table: jax.Array, ids: jax.Array, active: jax.Array,
         first = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), scand[1:] != scand[:-1]])
         win_s = contend & first
-        winner = jnp.zeros((U,), jnp.bool_).at[order].set(
+        winner = jnp.zeros((n_lanes,), jnp.bool_).at[order].set(
             win_s, unique_indices=True)
         slotN = jnp.where(winner, cand, slotN)
         unresolved = unresolved & ~winner
         # winners' cands are unique -> one masked unique-index scatter
         # (losers write a per-lane scratch-tail slot past C)
-        widx = jnp.where(winner, cand, C + jnp.arange(U, dtype=i32))
+        widx = jnp.where(winner, cand, C + jnp.arange(n_lanes, dtype=i32))
         claims = claims.at[widx].set(True, unique_indices=True)
-        return slotN, unresolved, claims, j + 1
+        return slotN, unresolved, claims
 
-    slotN, unresolvedN, _, _ = jax.lax.while_loop(
-        cond, body, (slotN0, need, claims0, jnp.uint32(0)))
-    n_failed = jnp.sum(unresolvedN.astype(jnp.int32))
+    if U <= 2 * _STRAGGLERS or max_probes <= _UNROLL:
+        # small batches: the single while_loop is cheaper than staging
+        def cond(state):
+            _, unresolved, _, j = state
+            return jnp.logical_and(jnp.any(unresolved), j < max_probes)
+
+        def body(state):
+            slotN, unresolved, claims, j = state
+            slotN, unresolved, claims = _round(slotN, unresolved, claims,
+                                               j, h0, U)
+            return slotN, unresolved, claims, j + 1
+
+        slotN, unresolvedN, _, _ = jax.lax.while_loop(
+            cond, body, (slotN0, need, claims0, jnp.uint32(0)))
+        n_failed = jnp.sum(unresolvedN.astype(jnp.int32))
+    else:
+        # staged: _UNROLL fixed full-width rounds, then the stragglers
+        # compact into a small static lane space for the remaining rounds
+        slotN, unresolved, claims = slotN0, need, claims0
+        for j in range(_UNROLL):
+            slotN, unresolved, claims = _round(slotN, unresolved, claims,
+                                               jnp.uint32(j), h0, U)
+        S = _STRAGGLERS
+        rank = jnp.cumsum(unresolved.astype(i32)) - 1
+        over = unresolved & (rank >= S)      # beyond the straggler budget
+        iorder = jnp.argsort(~unresolved, stable=True)[:S]
+        s_un = unresolved[iorder]
+        s_h0 = hash_u32(ids[iorder])
+
+        def conds(state):
+            _, unres, _, j = state
+            return jnp.logical_and(jnp.any(unres), j < max_probes)
+
+        def bodys(state):
+            sl, unres, claims, j = state
+            sl, unres, claims = _round(sl, unres, claims, j, s_h0, S)
+            return sl, unres, claims, j + 1
+
+        s_slot, s_unres, _, _ = jax.lax.while_loop(
+            conds, bodys, (jnp.full((S,), -1, i32), s_un & ~over[iorder],
+                           claims, jnp.uint32(_UNROLL)))
+        slotN = slotN.at[iorder].set(
+            jnp.where(s_un, s_slot, slotN[iorder]), unique_indices=True)
+        n_failed = (jnp.sum(s_unres.astype(i32))
+                    + jnp.sum(over.astype(i32)))
+    n_failed = n_failed + jnp.sum(gaveup.astype(i32))
 
     # ---- one table write for all inserts (claimed slots are unique) ------
     inserted = need & (slotN >= 0)

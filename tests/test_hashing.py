@@ -91,6 +91,32 @@ def test_overflow_reported_when_full():
     assert int(jnp.sum(table[:C] != -1)) == 8
 
 
+def test_staged_path_matches_semantics_at_scale():
+    """Batches above 2*_STRAGGLERS take the staged (unrolled + compacted
+    straggler loop) path; its results must satisfy the same invariants and
+    be idempotent on re-insert.  High load (87%) exercises chains deeper
+    than the unrolled prefix, i.e. the straggler loop itself."""
+    U = hashing._STRAGGLERS * 2 + 8192      # forces the staged path
+    C = 1 << (U - 1).bit_length()           # ~87% max load
+    rng = np.random.default_rng(1)
+    uniq = rng.choice(1 << 27, size=U - 2048, replace=False).astype(np.int32)
+    ids = np.concatenate([uniq, np.full(U - uniq.size, -1, np.int32)])
+    active = ids >= 0
+    t1, s1, f1 = hashing.lookup_or_insert(
+        jnp.full((C + U,), -1, jnp.int32), jnp.asarray(ids),
+        jnp.asarray(active), 256, C, unique_ids=True)
+    assert int(f1) == 0
+    t1n, s1n = np.asarray(t1), np.asarray(s1)
+    assert (t1n[s1n[active]] == ids[active]).all()
+    assert len(set(s1n[active].tolist())) == int(active.sum())
+    # second call: pure lookups; table's probe region unchanged
+    t2, s2, f2 = hashing.lookup_or_insert(
+        t1, jnp.asarray(ids), jnp.asarray(active), 256, C, unique_ids=True)
+    assert int(f2) == 0
+    np.testing.assert_array_equal(np.asarray(s2)[active], s1n[active])
+    np.testing.assert_array_equal(np.asarray(t2)[:C], t1n[:C])
+
+
 def test_hash_u32_mixes():
     ids = jnp.arange(4096, dtype=jnp.int32)
     h = np.asarray(hashing.hash_u32(ids))
