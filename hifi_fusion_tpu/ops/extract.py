@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry
+from .scatter import rows
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -87,11 +88,14 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     center = geometry.center_of_ids(jnp.maximum(cell, 0), config,
                                     offset)                # (3,E)
 
-    normal = jnp.stack([grid.normal[order * 3 + r] for r in range(3)], 0)
+    # row gathers: one index latency per SLOT, not per channel
+    # (ops/scatter.rows) — the round-1 extract's 13 flat gathers were
+    # ~1.3 s at full capacity (PERF.md §4)
+    normal = rows(grid.normal, 3, order).T                 # (3,E)
     # scalar sum form (grid.py cyl_stats): per-point q_proj = t*normal, so
     # Σq = normal*Σt and Σq²_i = normal_i²*Σt² — reconstruct the vector
     # stats the reference reports from the 5 stored scalars + the normal
-    stats = jnp.stack([grid.cyl_stats[order * 5 + r] for r in range(5)], 0)
+    stats = rows(grid.cyl_stats, 5, order).T               # (5,E)
     cnt = jnp.round(stats[4]).astype(jnp.int32)
     cnt_f = jnp.maximum(stats[4], 1.0)                     # (E,)
     mean_t = stats[0] / cnt_f
@@ -103,7 +107,7 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     mean_d = jnp.where(has, stats[2] / cnt_f, 0.0)
     sd_d = jnp.where(has, stats[3] / cnt_f - mean_d * mean_d, 0.0)
 
-    rgbs = jnp.stack([grid.rgb_sum[order * 3 + r] for r in range(3)], 0)
+    rgbs = rows(grid.rgb_sum, 3, order).T                  # (3,E)
     npts = grid.n_pts[order]
     npts_f = jnp.maximum(npts, 1.0)
     rgb = rgbs / npts_f[None, :]

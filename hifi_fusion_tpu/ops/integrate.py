@@ -49,9 +49,9 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing, pallas_kernels
-from .scatter import (end_positions, scatter_add, scatter_set, segment_ends,
-                      segment_fill, segment_reduce, segment_starts,
-                      segment_sums)
+from .scatter import (end_positions, rows, scatter_add, scatter_set,
+                      segment_ends, segment_fill, segment_reduce,
+                      segment_starts, segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -434,7 +434,8 @@ def integrate_frame_impl(grid: GridState,
         UH = min(hit_lanes if hit_lanes is not None
                  else scale * config.max_hit_voxels, NA * DW)
         dj_row = jnp.arange(DW, dtype=i32)[None, :]        # (1,DW)
-        udep_rows = grid.dep[us[:, None] * D + dj_row]     # (U,DW) row gather
+        # ONE row gather (k contiguous elems/index) — U indices, not U*DW
+        udep_rows = rows(grid.dep, D, us)[:, :DW]          # (U,DW)
         # broadcast the DW dep slots + count to point lanes with ONE
         # stacked segment fill ((DW+1) channels x NA) instead of (NA,DW)
         # row gathers
@@ -482,8 +483,7 @@ def integrate_frame_impl(grid: GridState,
         oso = jnp.clip(so_owner, 0, C - 1)
         so_center = geometry.center_of_ids(key_table[oso], config,
                                            offset)         # (3,UH)
-        so_nrows = grid.normal[oso[:, None] * 3
-                               + jnp.arange(3, dtype=i32)[None, :]]  # (UH,3)
+        so_nrows = rows(grid.normal, 3, oso)               # (UH,3)
         n_pstarts = jnp.sum(pstarts.astype(i32))
         uh_lim = jnp.where(n_pstarts > UH, UH - 1, n_pstarts)
         overflow_hits = (grid.overflow_hits
@@ -538,14 +538,25 @@ def integrate_frame_impl(grid: GridState,
                 overflow_hits)
 
     if dep_width_tiers:
-        widths = list(dep_width_tiers) + (
-            [D] if dep_width_tiers[-1] < D else [])
+        tiers_full = ((0,) if dep_width_tiers[0] > 0 else ()) \
+            + tuple(dep_width_tiers)
+        widths = list(tiers_full) + (
+            [D] if tiers_full[-1] < D else [])
         bmax = jnp.max(jnp.where(uplaced, udep_cnt, 0))
         ix = jnp.minimum(
-            jnp.searchsorted(jnp.asarray(dep_width_tiers, i32), bmax,
+            jnp.searchsorted(jnp.asarray(tiers_full, i32), bmax,
                              side="left").astype(i32), len(widths) - 1)
+
+        def _branch(w):
+            if w == 0:
+                # pre-normal batches (no cell has dependants yet): the
+                # whole pair machinery — expansion, sort, fills, sums,
+                # scatter — is a no-op; selected only when bmax == 0
+                return lambda: (grid.cyl_stats, grid.overflow_hits)
+            return partial(_pair_block, w)
+
         cyl_stats, overflow_hits = jax.lax.switch(
-            ix, [partial(_pair_block, w) for w in widths])
+            ix, [_branch(w) for w in widths])
     else:
         cyl_stats, overflow_hits = _pair_block(
             min(dep_width if dep_width is not None else D, D))

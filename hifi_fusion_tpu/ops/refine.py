@@ -42,8 +42,9 @@ from ..config import FusionConfig
 from ..grid import GridState
 from . import geometry, hashing
 from .eigen33 import smallest_eigenpair_sym
-from .scatter import (end_positions, scatter_add, scatter_set, segment_ends,
-                      segment_fill, segment_starts, segment_sums)
+from .scatter import (end_positions, rows, scatter_add, scatter_set,
+                      segment_ends, segment_fill, segment_starts,
+                      segment_sums)
 
 _BIG = jnp.iinfo(jnp.int32).max
 
@@ -170,9 +171,21 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     colbase = (nx * dyd + ny) * dzd + coords[2][None, :]          # (Ncol,U)
     shpos = jnp.maximum(colbase - kk, 0)
     W = config.n_occ_words
-    w0i = shpos >> 5
-    w0 = grid.occ_bits[jnp.clip(w0i, 0, W - 1)]
-    w1 = grid.occ_bits[jnp.clip(w0i + 1, 0, W - 1)]
+    w0i = jnp.clip(shpos >> 5, 0, W - 1)
+    # both column words in ONE 2-word slice gather: TPU gathers cost one
+    # latency per INDEX (ops/scatter.rows), so this halves the gather
+    # count.  Start W-1 slices into the scratch tail's first word — junk,
+    # but only bit positions >= 32*W land there and those are cells
+    # >= n_cells, always masked by nvalid below.
+    both = jax.lax.gather(
+        grid.occ_bits, w0i[..., None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(2,), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(2,),
+        mode=jax.lax.GatherScatterMode.CLIP)               # (Ncol,U,2)
+    w0 = both[..., 0]
+    w1 = both[..., 1]
     b0 = (shpos & 31).astype(u32)
     winbits = (w0 >> b0) | jnp.where(b0 > 0, w1 << (u32(32) - b0), u32(0))
     dz_off = jnp.arange(-kk, kk + 1, dtype=i32)[:, None, None]    # (win,1,1)
@@ -214,7 +227,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
     # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = jnp.stack([grid.viewpoint[cslot * 3 + r] for r in range(3)], 0)
+    vp = rows(grid.viewpoint, 3, cslot).T                          # (3,U)
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
@@ -381,6 +394,13 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # run-start lane witnesses "any link created for this slot")
     overflow_replay = overflow_replay + jnp.sum(
         (pstarts & write_ok & bufdrop_arr[ls]).astype(i32))
+    # row-gather staging (ops/scatter.rows): pack the per-candidate owner
+    # data and the sorted buffer points into k-wide rows ONCE so the
+    # budget-lane gathers below cost one index latency per lane, not one
+    # per channel (3 flat point gathers at R2 lanes measured 460 ms at
+    # 2^23 — PERF.md §4)
+    cn6 = jnp.concatenate([center, nvec], axis=0).T        # (U,6)
+    bpt3 = jnp.stack([bx, by, bz], axis=1)                 # (BL,3)
     lkey = jnp.where(write_ok & (l_cnt0 > 0), sO, _BIG)
     lk, l_start, l_cnt, l_u = jax.lax.sort(
         (lkey, l_start0, l_cnt0, sU), num_keys=1, is_stable=True)
@@ -426,14 +446,13 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                             fl_ok, [jnp.ones((OB,), jnp.bool_)],
                             R2b)[:R2b]
         zf = jnp.zeros((R2b + OB,), f32)
-        ocols = [center[0][fl_u], center[1][fl_u], center[2][fl_u],
-                 nvec[0][fl_u], nvec[1][fl_u], nvec[2][fl_u]]
+        oc_rows = cn6[fl_u]                                # (OB,6) row gather
         ofill = segment_fill(jnp.stack(
-            [scatter_set(zf, fl_ofs, fl_ok, [c], R2b)[:R2b]
-             for c in ocols]),
+            [scatter_set(zf, fl_ofs, fl_ok, [oc_rows[:, r]], R2b)[:R2b]
+             for r in range(6)]),
             marko)                                                # (6,R2b)
 
-        r_pt = jnp.stack([bx[pidx], by[pidx], bz[pidx]], axis=0)  # (3,R2b)
+        r_pt = bpt3[pidx].T                                # (3,R2b) row gather
         r_center = ofill[0:3]
         r_normal = ofill[3:6]
         rq = r_pt - r_center

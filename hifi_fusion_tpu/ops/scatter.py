@@ -35,6 +35,18 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max
 
 
+def rows(flat: jax.Array, k: int, idx: jax.Array) -> jax.Array:
+    """Gather k-wide slot rows from a flat slot-major array -> (n, k).
+
+    TPU gathers are latency-bound PER INDEX, not per element: one row
+    gather (k contiguous elements per index) costs ~one flat-gather
+    latency (~12 ns), measured 7.7x cheaper than k flat gathers at k=6
+    on v5e (2026-08-18 microbench; revises the earlier (131k,12)-row
+    measurement taken without a device fetch barrier).  Use for every
+    hot multi-channel slot read."""
+    return flat.reshape(-1, k)[idx]
+
+
 def compact_by(mask: jax.Array, *arrays: jax.Array
                ) -> Tuple[jax.Array, ...]:
     """Stable-partition lanes with ``mask`` True to the front.
