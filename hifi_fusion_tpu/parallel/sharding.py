@@ -337,25 +337,51 @@ class ShardedFusion:
             for f in GridState._fields})
 
     def metrics(self, grid) -> dict:
-        C = self.config.capacity
-        key2 = grid.key.reshape(self.n, -1)[:, :C]
-        occ2 = grid.n_pts.reshape(self.n, -1)[:, :C] > 0
-        nf2 = grid.normal_found.reshape(self.n, -1)[:, :C]
-        occ = int(jnp.sum(occ2))
-        used = int(jnp.sum(key2 != -1))
-        return {
-            "devices": self.n,
-            "occupied_voxels_incl_halo": occ,
-            "slots_used": used,
-            "hash_load_factor_max": float(
-                jnp.max(jnp.sum(key2 != -1, axis=1)) / C),
-            "normals_found_incl_halo": int(jnp.sum(nf2)),
-            "overflow_probe": int(jnp.sum(grid.overflow_probe)),
-            "overflow_buffer": int(jnp.sum(grid.overflow_buf)),
-            "overflow_dependants": int(jnp.sum(grid.overflow_dep)),
-            "overflow_refine": int(jnp.sum(grid.overflow_refine)),
-            "frames": int(grid.frames[0]),
-        }
+        """All shard counters in ONE jitted dispatch.
+
+        The round-1 form issued one jnp reduction per counter — each a
+        separate dispatch densifying the sharded operand — fine for tests,
+        not for a live multi-chip session polling metrics.  Here a single
+        jitted program reduces everything on device (XLA inserts the
+        cross-shard collectives) and the host fetches a dict of scalars.
+        Surfaces ALL EIGHT overflow counters (the first four were the only
+        ones visible before, so the sharded dryrun's zero-overflow assert
+        silently skipped unique/hits/replay/active).
+        """
+        if not hasattr(self, "_metrics_fn"):
+            C = self.config.capacity
+            n = self.n
+
+            @jax.jit
+            def _metrics(g):
+                key2 = g.key.reshape(n, -1)[:, :C]
+                used2 = jnp.sum((key2 != -1).astype(jnp.int32), axis=1)
+                return {
+                    "occupied_voxels_incl_halo": jnp.sum(
+                        (g.n_pts.reshape(n, -1)[:, :C] > 0)
+                        .astype(jnp.int32)),
+                    "slots_used": jnp.sum(used2),
+                    "hash_load_factor_max": jnp.max(used2) / C,
+                    "normals_found_incl_halo": jnp.sum(
+                        g.normal_found.reshape(n, -1)[:, :C]
+                        .astype(jnp.int32)),
+                    "overflow_probe": jnp.sum(g.overflow_probe),
+                    "overflow_buffer": jnp.sum(g.overflow_buf),
+                    "overflow_dependants": jnp.sum(g.overflow_dep),
+                    "overflow_refine": jnp.sum(g.overflow_refine),
+                    "overflow_unique": jnp.sum(g.overflow_unique),
+                    "overflow_hits": jnp.sum(g.overflow_hits),
+                    "overflow_replay": jnp.sum(g.overflow_replay),
+                    "overflow_active": jnp.sum(g.overflow_active),
+                    "frames": g.frames[0],
+                }
+
+            self._metrics_fn = _metrics
+        m = jax.device_get(self._metrics_fn(grid))
+        out = {"devices": self.n}
+        out.update((k, float(v) if k == "hash_load_factor_max" else int(v))
+                   for k, v in m.items())
+        return out
 
 
 class ShardedExtract:
