@@ -234,6 +234,10 @@ def save_measured(tpu_notes=None, baseline_notes=None):
 
 # ----------------------------------------------------------------------
 def bench_config(frames=None):
+    """THE bench config — and since round 3 the tier/batch/cap fields are
+    plain config fields, so the PRODUCT (FusionSession / cli fuse) runs the
+    exact same fast path bench.py measures (VERDICT r2 missing #2: the
+    headline throughput had been unreachable through the product API)."""
     from hifi_fusion_tpu.config import FusionConfig
     return FusionConfig(
         max_batch_frames=max(BATCH, 1),
@@ -252,6 +256,15 @@ def bench_config(frames=None):
         max_hit_voxels=1 << 18,
         max_replay_active=1 << 19,   # distinct buffered-slot runs
         max_replay_hits=1 << 23,     # first-pass replay pair-points
+        # device-side budget tiers + batch lane budgets + extract cap:
+        # the session pipeline dispatches these (models/pipeline.py)
+        dep_width_tiers=tuple(STEADY_DW or ()),
+        refine_tiers=REFINE_TIERS,
+        replay_tiers=REPLAY_TIERS,
+        extract_cap=EXTRACT_CAP,
+        batch_unique_lanes=BATCH_UNIQUE,
+        batch_hit_lanes=BATCH_HITS,
+        batch_pair_lanes=BATCH_PAIRS,
         # The Pallas frontend's custom-call payload hashes differently in
         # every process (six distinct persistent-cache keys observed for
         # identical source), so with it enabled each bench process pays a
@@ -291,22 +304,18 @@ def baseline_points(fr):
 
 
 def run_tpu(cfg, frames):
-    """Per-frame jitted integrate over host-staged frames (async HtoD of
-    ~3.7 MB/frame overlaps device compute); host-driven refine cadence.
-
-    Uses the SAME three programs as the library pipeline, bench --verify
-    and profile_tpu.py (integrate_frame / refine_pass / extract) so one
-    compile-cache warming covers every entry point — cold compiles on the
-    axon service run ~100 s per sort/scatter/while op, so program count
-    is the budget that matters.
+    """Drive the PRODUCT: a ``FusionSession`` replaying the sweep through
+    ``push_depth_frame`` -> drain -> ``process()`` (final refine + capped
+    extract + PCD/CSV export + metrics + grid clear).  Since round 3 there
+    is ONE execution path — the session worker batches K frames per
+    integrate dispatch, fires the device-tiered refine at the product
+    cadence, and sizes every lane budget from the config (VERDICT r2 #1).
+    The measured Mpts/s therefore INCLUDES host staging, final refine,
+    extraction AND file export — everything the reference's process
+    service does (FUSION.cpp:377-440).
     """
     import jax
-    import jax.numpy as jnp
-    from hifi_fusion_tpu.grid import make_grid, quick_counts
-    from hifi_fusion_tpu.ops.integrate import integrate_frame
-    from hifi_fusion_tpu.ops.refine import refine_pass
-    from hifi_fusion_tpu.ops.extract import extract
-    from hifi_fusion_tpu.utils.synthetic import pad_frame
+    from hifi_fusion_tpu.runtime.session import FusionSession
 
     cache = os.path.join(ROOT, ".jax_cache")
     try:
@@ -320,187 +329,57 @@ def run_tpu(cfg, frames):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     log(f"jax devices: {jax.devices()}")
+    if WIRE != "depth":
+        raise RuntimeError(
+            f"the throughput bench runs the production sensor-native wire "
+            f"only (got BENCH_WIRE={WIRE}); q16/f32 remain available in "
+            f"--verify and the library API")
+    # build the native extension up-front: process() writes the metadata
+    # CSV through it (the pure-Python fallback loops 250k rows)
+    from hifi_fusion_tpu.runtime import native as rt_native
+    if not rt_native.available():
+        rt_native.build()
 
-    def fetch(x):
-        return np.asarray(x)          # device->host fetch = reliable barrier
-
-    # Ingest format (BENCH_WIRE, see module header): the axon host->device
-    # tunnel streams at ~37 MB/s, so wire bytes/frame bound throughput —
-    # depth (4 B/px) = 33 ms/frame, q16 (10 B/pt) = 83 ms, f32 (25 B/pt)
-    # = 200 ms.  Every format dequantizes bit-reproducibly on device;
-    # --verify runs the oracle on the identical dequantized f32 points.
-    t0 = time.monotonic()
-    jrays = None
-    if WIRE == "depth":
-        jrays = jax.device_put(bench_rays())
-        host = [(f.depth_q, f.rgb565, np.int32(f.count), f.pose)
-                for f in frames]
-        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
-    elif WIRE == "q16":
-        from hifi_fusion_tpu.utils.synthetic import pack_frame_q16
-        pk = [pack_frame_q16(f, cfg.max_points) for f in frames]
-        host = [(f.points_q, f.quant, f.rgb_u32,
-                 np.int32(f.count), f.pose) for f in pk]
-        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
-    else:
-        planar = [pad_frame(f, cfg.max_points) for f in frames]
-        host = [(np.ascontiguousarray(f.points_cam),
-                 np.ascontiguousarray(f.rgb),
-                 np.ascontiguousarray(f.mask),
-                 np.ascontiguousarray(f.pose)) for f in planar]
-        per_frame_bytes = sum(np.asarray(x).nbytes for x in host[0])
-    if BATCH > 1:
-        # K-frame stacks for the batched integrate program; a sweep is
-        # trimmed to whole batches (the measured pts/s covers exactly the
-        # frames integrated).  Depth stacks are (K,N) u16 + (K,) counts.
-        hbat = [tuple(np.stack([host[i + j][k] for j in range(BATCH)])
-                      for k in range(len(host[0])))
-                for i in range(0, len(host) - BATCH + 1, BATCH)]
-    log(f"host staging: {time.monotonic()-t0:.1f}s (batch={BATCH}, "
-        f"wire={WIRE}, {per_frame_bytes/1e6:.1f} MB/frame)")
-
-
-    # steady-state refine passes see 10-100x fewer live candidates /
-    # buffered points / replay hits than the static worst-case budgets
-    # (PERF.md §4).  Tier selection happens ON DEVICE (ops/refine.py
-    # ``tiers``): the pass switches into the first covering tier and
-    # falls back to the full config budgets — the sweep loop below runs
-    # with ZERO device->host round-trips (the round-2 refine-cadence
-    # walls were dominated by two ~34 ms quick_counts fetches per
-    # cadence).  Overflow counters still verify nothing was dropped.
-    def refine_policy(grid):
-        t0 = time.monotonic()
-        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
-        if os.environ.get("BENCH_TIMING"):
-            np.asarray(grid.frames)
-            log(f"refine (device-tiered): {time.monotonic()-t0:.2f}s")
-        return grid
-
-    def refine_due(done, refines):
-        """Refine cadence: every 4 frames while the surface fills (first
-        2 cadences), then every REFINE_EVERY.  With K-frame batching the
-        cadence can only fire at batch boundaries; early marks inside one
-        batch would trigger back-to-back passes (the second seeing zero
-        new candidates), so marks below BATCH collapse into one."""
-        early = [4, 8] if REFINE_EVERY >= 8 else []
-        early = sorted({max(m, BATCH) for m in early})
-        marks = [m for m in early if m <= done]
-        marks += list(range(REFINE_EVERY * 2, done + 1, REFINE_EVERY))
-        return len([m for m in marks if m <= done]) > refines
+    import tempfile
+    rays = bench_rays()
+    host = [(np.asarray(f.depth_q), np.asarray(f.rgb565),
+             np.asarray(f.pose, np.float32)) for f in frames]
+    per_frame_bytes = (host[0][0].nbytes + host[0][1].nbytes
+                       + host[0][2].nbytes)
+    out_dir = tempfile.mkdtemp(prefix="bench_fuse_")
+    log(f"wire={WIRE}, {per_frame_bytes/1e6:.2f} MB/frame, batch={BATCH}, "
+        f"output -> {out_dir}")
 
     def run_once(n_frames, tag):
-        grid = make_grid(cfg)
-        # dependant-width choice is ON DEVICE (dep_width_tiers): exact by
-        # construction — the dispatch reads max(dep_count) itself
-        dkw = {} if STEADY_DW is None else dict(dep_width_tiers=DW_TIERS)
-        t0 = time.monotonic()
-
-        # BENCH_TIMING=2: barrier after every integrate dispatch to split
-        # wall time into integrate/refine/staging shares.  The barriers
-        # serialize the staging overlap, so totals are diagnostic only.
-        deep_timing = os.environ.get("BENCH_TIMING") == "2"
-        t_int = 0.0
-
-        if BATCH > 1:
-            n_frames = max((n_frames // BATCH) * BATCH, BATCH)
-            import queue
-            import threading
-            dq = queue.Queue(maxsize=2)
-
-            def stage_b():
-                for b in range(n_frames // BATCH):
-                    hb = hbat[b % len(hbat)]
-                    dq.put(tuple(jax.device_put(np.asarray(x))
-                                 for x in hb))
-
-            threading.Thread(target=stage_b, daemon=True,
-                             name="bench-stager").start()
-            bkw = dict(unique_lanes=min(BATCH_UNIQUE,
-                                        BATCH * cfg.max_unique_per_frame),
-                       hit_lanes=min(BATCH_HITS,
-                                     BATCH * cfg.max_hit_voxels),
-                       pair_lanes=min(BATCH_PAIRS,
-                                      BATCH * cfg.max_stream_pairs))
-            done = refines = 0
-            t_starv = 0.0
-            for b in range(n_frames // BATCH):
-                tg = time.monotonic()
-                df = dq.get()
-                t_starv += time.monotonic() - tg
-                kw = dict(bkw, **dkw)
-                ti = time.monotonic()
-                if WIRE == "depth":
-                    d_, rc, cnt, ps = df
-                    grid = integrate_frame(grid, d_, rc, cnt, ps,
-                                           config=cfg, rays=jrays, **kw)
-                else:
-                    p, c, m_, t = df
-                    grid = integrate_frame(grid, p, c, m_, t,
-                                           config=cfg, **kw)
-                if deep_timing:
-                    np.asarray(grid.frames)
-                    t_int += time.monotonic() - ti
-                done += BATCH
-                while refine_due(done, refines):
-                    grid = refine_policy(grid)
-                    refines += 1
-        else:
-            # host->device staging runs on its own thread (the transfer
-            # blocks the issuing thread through the tunnel; the GIL is
-            # released during the copy, so a stager thread overlaps it
-            # with dispatch+compute — the reference's 3-thread pipeline
-            # P1, as a 2-deep device-side ring)
-            import queue
-            import threading
-            dq = queue.Queue(maxsize=4)
-
-            def stage():
-                for i in range(n_frames):
-                    hf = host[i % len(host)]
-                    dq.put(tuple(jax.device_put(np.asarray(x))
-                                 for x in hf))
-
-            stager = threading.Thread(target=stage, daemon=True,
-                                      name="bench-stager")
-            stager.start()
-            refines = 0
-            t_starv = 0.0
+        n_frames = max((n_frames // BATCH) * BATCH, BATCH)
+        with FusionSession(cfg, output_dir=out_dir,
+                           queue_depth=n_frames + BATCH,
+                           batch_fill_wait=2.0) as sess:
+            sess.start()
+            t0 = time.monotonic()
             for i in range(n_frames):
-                tg = time.monotonic()
-                df = dq.get()
-                t_starv += time.monotonic() - tg
-                if WIRE == "depth":
-                    d_, rc, cnt, ps = df
-                    grid = integrate_frame(grid, d_, rc, cnt, ps,
-                                           config=cfg, rays=jrays, **dkw)
-                elif WIRE == "q16":
-                    pq, qn, rc, cnt, ps = df
-                    grid = integrate_frame(grid, pq, rc, cnt, ps,
-                                           config=cfg, quant=qn, **dkw)
-                else:
-                    p, c, m_, t = df
-                    grid = integrate_frame(grid, p, c, m_, t, config=cfg,
-                                           **dkw)
-                while refine_due(i + 1, refines):
-                    grid = refine_policy(grid)
-                    refines += 1
-        grid = refine_policy(grid)
-        tx = time.monotonic()
-        result = extract(grid, config=cfg, cap=EXTRACT_CAP)
-        n_vox = int(fetch(result.n_valid))
-        assert n_vox <= EXTRACT_CAP, f"extract cap exceeded: {n_vox}"
-        dt = time.monotonic() - t0
-        if deep_timing:
-            log(f"tpu {tag} shares: integrate {t_int:.2f}s  "
-                f"extract {time.monotonic()-tx:.2f}s  "
-                f"(refine walls logged above)")
-        m = quick_counts(grid, cfg)     # ONE dispatch for all counters
+                dq, r565, pose = host[i % len(host)]
+                sess.push_depth_frame(dq, r565, pose, rays=rays)
+            if not sess.drain(timeout=max(remaining() - 25, 30)):
+                raise RuntimeError(f"{tag}: session failed to drain")
+            tx = time.monotonic()
+            result = sess.process(ascii_mode=False)
+            dt = time.monotonic() - t0
+            t_proc = time.monotonic() - tx
+            sm = sess.metrics()
+        m = result["grid_metrics"]
+        n_vox = result["n_points"]
         ovf = {k: v for k, v in m.items() if k.startswith("overflow")}
         log(f"tpu {tag}: {n_frames} frames in {dt:.2f}s  "
             f"{n_frames/dt:.1f} frames/s  "
             f"{n_frames*POINTS/dt/1e6:.1f} Mpts/s  -> {n_vox} voxels  "
-            f"stager starvation {t_starv:.2f}s  overflows={ovf}")
+            f"process(incl. export) {t_proc:.2f}s  overflows={ovf}")
+        log(f"tpu {tag} stage timers: {sm['stage_timers']}")
+        if sm["frames_integrated"] != n_frames:
+            raise RuntimeError(
+                f"{tag}: {sm['frames_integrated']}/{n_frames} frames "
+                f"integrated (dropped={sm['frames_dropped_backpressure']})"
+                f"; refusing to record throughput")
         # a nonzero overflow means points were silently dropped — the
         # throughput would not describe the full workload, so it must
         # never be recorded as the measured result (advisor, round 1)
@@ -510,7 +389,7 @@ def run_tpu(cfg, frames):
                                f"refusing to record throughput")
         return n_frames * POINTS / dt
 
-    # warmup: compiles all three programs (persistent cache makes later
+    # warmup: compiles/loads all programs (persistent cache makes later
     # runs cheap); run only 1 refine-cadence worth of frames
     t0 = time.monotonic()
     warm_tput = run_once(min(REFINE_EVERY, len(frames)), "warmup")
@@ -524,13 +403,15 @@ def run_tpu(cfg, frames):
         return
     STATE.tpu_pts_per_s = run_once(n, "steady")
     save_measured(tpu_notes=(
-        f"bench.py steady-state on {jax.devices()[0].device_kind} "
+        f"bench.py -> FusionSession (the product path) on "
+        f"{jax.devices()[0].device_kind} "
         f"({time.strftime('%Y-%m-%d')}): {n} frames x {POINTS} pts at 1 mm, "
         f"wire={WIRE} ({per_frame_bytes/1e6:.2f} MB/frame), batch={BATCH}, "
         f"device-tiered dep_width {DW_TIERS} and refine budgets "
         f"{REFINE_TIERS} (zero host syncs in the loop), "
-        f"refine every {REFINE_EVERY},"
-        f" final extract included; zero overflow counters asserted. "
+        f"refine every {REFINE_EVERY}; includes final refine, capped "
+        f"extract, PCD+CSV export and metrics (process()); zero overflow "
+        f"counters asserted. "
         f"{STATE.tpu_pts_per_s/1e6:.3f} Mpts/s end-to-end."))
 
 

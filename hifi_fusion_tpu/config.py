@@ -123,6 +123,25 @@ class FusionConfig:
     # zero host round-trips.  () = always the full static budgets.
     dep_width_tiers: Tuple[int, ...] = ()
     refine_tiers: Tuple[Tuple[int, int, int, int], ...] = ()
+    # inner replay-expansion tiers (ops/refine.py replay_tiers): the replay
+    # block lax.switches on the LIVE replayed-point total, so a steady pass
+    # with a near-empty replay runs thousands of lanes, not millions.
+    replay_tiers: Tuple[int, ...] = ()
+    # static emission bound for extraction (ops/extract.py cap): the
+    # compacted-prefix gathers run over this many lanes instead of the full
+    # hash capacity (~4x cheaper at the bench config, PERF.md §5).  The
+    # pipeline falls back to an UNCAPPED extract when n_valid exceeds it —
+    # never a silent truncation.  0 = always uncapped.
+    extract_cap: int = 0
+    # K-frame batched-integrate lane budgets (ops/integrate.py batched
+    # mode).  Consecutive frames of a sweep hit nearly the same cells, so
+    # the UNION of K frames' unique cells / hit owners is ~1.3-1.7x ONE
+    # frame's, not Kx (PERF.md §5) — these cap the batch lane spaces below
+    # the pessimistic K * per-frame budgets.  0 = K * the per-frame budget.
+    # Overflow counters guard the bounds exactly as in the per-frame path.
+    batch_unique_lanes: int = 0
+    batch_hit_lanes: int = 0
+    batch_pair_lanes: int = 0
 
     # ------------------------------------------------------------------
     @property

@@ -216,30 +216,42 @@ def quick_counts(grid: GridState, config: FusionConfig) -> dict:
     return {k: int(v) for k, v in zip(_QUICK_FIELDS, vals)}
 
 
+@_partial(jax.jit, static_argnames=("capacity",))
+def _grid_metrics(grid: GridState, capacity: int) -> jax.Array:
+    return jnp.concatenate([
+        _quick_counts(grid, capacity),
+        jnp.sum((grid.key[:capacity] != -1).astype(jnp.int32))[None],
+    ])
+
+
 def grid_metrics(grid: GridState, config: FusionConfig) -> dict:
     """Host-side telemetry (survey §5.5): occupancy, load factor, overflows.
 
     ``config`` is required: grid arrays carry scratch tails whose size
-    cannot be inferred from the state alone.
+    cannot be inferred from the state alone.  ONE jitted dispatch + one
+    fetch — the round-2 form issued ~16 tiny reductions, each a separate
+    ~34 ms round-trip on the axon tunnel, which put half a second of
+    metrics overhead inside every ``process()``.
     """
-    C = config.capacity
-    occ = int(jnp.sum(occupied_slots(grid, C)))
-    used = int(jnp.sum(grid.key[:C] != -1))
+    import numpy as np
+    vals = np.asarray(_grid_metrics(grid, config.capacity))
+    m = {k: int(v) for k, v in zip(_QUICK_FIELDS, vals)}
+    used = int(vals[len(_QUICK_FIELDS)])
     return {
-        "occupied_voxels": occ,
+        "occupied_voxels": m["occupied_voxels"],
         "slots_used": used,
-        "hash_load_factor": used / C,
-        "normals_found": int(jnp.sum(grid.normal_found[:C])),
-        "max_dependants_used": int(jnp.max(grid.dep_count[:C])),
-        "buffered_points": int(grid.buf_count),
-        "frames": int(grid.frames),
-        "overflow_probe": int(grid.overflow_probe),
-        "overflow_buffer": int(grid.overflow_buf),
-        "overflow_dependants": int(grid.overflow_dep),
-        "overflow_refine": int(grid.overflow_refine),
-        "overflow_unique": int(grid.overflow_unique),
-        "overflow_hits": int(grid.overflow_hits),
-        "overflow_replay": int(grid.overflow_replay),
-        "overflow_active": int(grid.overflow_active),
-        "buffer_lanes_reclaimed": int(grid.reclaimed),
+        "hash_load_factor": used / config.capacity,
+        "normals_found": m["normals_found"],
+        "max_dependants_used": m["max_dependants_used"],
+        "buffered_points": m["buffered_points"],
+        "frames": m["frames"],
+        "overflow_probe": m["overflow_probe"],
+        "overflow_buffer": m["overflow_buffer"],
+        "overflow_dependants": m["overflow_dependants"],
+        "overflow_refine": m["overflow_refine"],
+        "overflow_unique": m["overflow_unique"],
+        "overflow_hits": m["overflow_hits"],
+        "overflow_replay": m["overflow_replay"],
+        "overflow_active": m["overflow_active"],
+        "buffer_lanes_reclaimed": m["buffer_lanes_reclaimed"],
     }

@@ -37,6 +37,32 @@ from ..ops.integrate import integrate_frame, integrate_frame_impl
 from ..ops.refine import refine_pass, refine_pass_impl
 
 
+def refine_due(frames, k: int, config: FusionConfig):
+    """True iff a refine mark (multiple of ``refine_every``) falls in the
+    frame interval ``(frames - k, frames]``.  THE cadence rule: the fused
+    single-frame step (k=1, on device), the session's batched dispatches
+    (k=K, host side — cadence depends only on frame counts, no device
+    sync) and the benchmark all share it, so every execution path refines
+    at the same frame numbers and produces the same grid (VERDICT r2 weak
+    #5: bench and product cadences had diverged).  Works for device
+    ``frames`` scalars and Python ints alike."""
+    e = config.refine_every
+    return (frames // e) > ((frames - k) // e)
+
+
+def _maybe_refine(grid: GridState, config: FusionConfig, k: int,
+                  offset=None) -> GridState:
+    if config.refine_every <= 0:
+        return grid
+    return jax.lax.cond(
+        refine_due(grid.frames, k, config),
+        lambda g: refine_pass_impl(g, config=config, offset=offset,
+                                   tiers=config.refine_tiers or None,
+                                   replay_tiers=config.replay_tiers or None),
+        lambda g: g,
+        grid)
+
+
 def _step_impl(grid: GridState, points_cam, rgb, mask, pose,
                config: FusionConfig, offset=None, pre_transformed=False,
                extra_dropped=None) -> GridState:
@@ -45,14 +71,19 @@ def _step_impl(grid: GridState, points_cam, rgb, mask, pose,
                                 pre_transformed=pre_transformed,
                                 extra_dropped=extra_dropped,
                                 dep_width_tiers=config.dep_width_tiers)
-    if config.refine_every > 0:
-        grid = jax.lax.cond(
-            (grid.frames % config.refine_every) == 0,
-            lambda g: refine_pass_impl(g, config=config, offset=offset,
-                                       tiers=config.refine_tiers or None),
-            lambda g: g,
-            grid)
-    return grid
+    return _maybe_refine(grid, config, 1, offset)
+
+
+def batch_lane_budgets(config: FusionConfig, k: int) -> dict:
+    """Static lane budgets for a K-frame batched integrate: the configured
+    union bounds (batch_*_lanes), never above the pessimistic K x
+    per-frame budgets (see config.py field docs)."""
+    u = config.batch_unique_lanes or k * config.max_unique_per_frame
+    h = config.batch_hit_lanes or k * config.max_hit_voxels
+    p = config.batch_pair_lanes or k * config.max_stream_pairs
+    return dict(unique_lanes=min(u, k * config.max_unique_per_frame),
+                hit_lanes=min(h, k * config.max_hit_voxels),
+                pair_lanes=min(p, k * config.max_stream_pairs))
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
@@ -72,14 +103,36 @@ def fusion_step_depth(grid: GridState, depth_q, rgb565, count, pose, rays,
     grid = integrate_frame_impl(grid, depth_q, rgb565, count, pose,
                                 config=config, rays=rays,
                                 dep_width_tiers=config.dep_width_tiers)
-    if config.refine_every > 0:
-        grid = jax.lax.cond(
-            (grid.frames % config.refine_every) == 0,
-            lambda g: refine_pass_impl(g, config=config,
-                                       tiers=config.refine_tiers or None),
-            lambda g: g,
-            grid)
-    return grid
+    return _maybe_refine(grid, config, 1)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
+def integrate_batch(grid: GridState, points_cam, rgb, mask, poses,
+                    *, config: FusionConfig) -> GridState:
+    """K-frame batched planar integrate ((K,3,N) points + (K,4,4) poses):
+    the per-dispatch fixed machinery runs once per batch (PERF.md §5-6).
+    Refinement is NOT fused — the session fires the tiered ``refine_pass``
+    from the host when ``refine_due`` says a mark fell inside the batch
+    (cadence depends only on frame counts, so this costs no device sync,
+    and the refine program stays shared with every other entry point —
+    the axon compile budget, PERF.md §2)."""
+    k = poses.shape[0]
+    return integrate_frame_impl(grid, points_cam, rgb, mask, poses,
+                                config=config,
+                                dep_width_tiers=config.dep_width_tiers,
+                                **batch_lane_budgets(config, k))
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
+def integrate_batch_depth(grid: GridState, depth_q, rgb565, counts, poses,
+                          rays, *, config: FusionConfig) -> GridState:
+    """K-frame batched sensor-native integrate ((K,N) u16 depth + (K,N)
+    rgb565 + (K,) counts).  See ``integrate_batch`` for the refine story."""
+    k = poses.shape[0]
+    return integrate_frame_impl(grid, depth_q, rgb565, counts, poses,
+                                config=config, rays=rays,
+                                dep_width_tiers=config.dep_width_tiers,
+                                **batch_lane_budgets(config, k))
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
@@ -114,16 +167,36 @@ class FusionPipeline:
         return fusion_step_depth(grid, depth_q, rgb565, count, pose, rays,
                                  config=self.config)
 
-    def integrate(self, grid: GridState, points_cam, rgb, mask, pose
-                  ) -> GridState:
-        return integrate_frame(grid, points_cam, rgb, mask, pose,
+    def step_batch(self, grid: GridState, points_cam, rgb, mask, poses
+                   ) -> GridState:
+        """K-frame batched integrate (NO fused refine — the caller fires
+        ``refine`` when ``refine_due`` says a mark fell in the batch)."""
+        return integrate_batch(grid, points_cam, rgb, mask, poses,
                                config=self.config)
 
-    def refine(self, grid: GridState) -> GridState:
-        return refine_pass(grid, config=self.config)
+    def step_batch_depth(self, grid: GridState, depth_q, rgb565, counts,
+                         poses, rays) -> GridState:
+        return integrate_batch_depth(grid, depth_q, rgb565, counts, poses,
+                                     rays, config=self.config)
 
-    def extract(self, grid: GridState) -> ExtractResult:
-        return extract(grid, config=self.config)
+    def integrate(self, grid: GridState, points_cam, rgb, mask, pose,
+                  quant=None, rays=None) -> GridState:
+        return integrate_frame(grid, points_cam, rgb, mask, pose,
+                               config=self.config, quant=quant, rays=rays)
+
+    def refine(self, grid: GridState) -> GridState:
+        return refine_pass(grid, config=self.config,
+                           tiers=self.config.refine_tiers or None,
+                           replay_tiers=self.config.replay_tiers or None)
+
+    def extract(self, grid: GridState, cap=None) -> ExtractResult:
+        """``cap=None`` uses ``config.extract_cap`` (0 = uncapped);
+        an explicit cap overrides.  ``to_host`` raises on truncation —
+        ``extract_host`` retries uncapped, so no caller ever sees a
+        silently clipped cloud."""
+        if cap is None:
+            cap = self.config.extract_cap or None
+        return extract(grid, config=self.config, cap=cap)
 
     def run_sweep(self, grid: GridState, points_cam, rgb, mask, poses
                   ) -> GridState:
@@ -134,7 +207,13 @@ class FusionPipeline:
     #    (runtime/session.py drives either through these) ---------------
     def extract_host(self, grid: GridState) -> dict:
         from ..ops.extract import to_host
-        return to_host(self.extract(grid))
+        cap = self.config.extract_cap
+        if cap:
+            try:
+                return to_host(self.extract(grid, cap=cap))
+            except RuntimeError:   # n_valid > cap: pay the full-width
+                pass               # extract rather than truncate
+        return to_host(self.extract(grid, cap=0))
 
     def grid_metrics(self, grid: GridState) -> dict:
         from ..grid import grid_metrics

@@ -234,16 +234,27 @@ def integrate_frame_impl(grid: GridState,
                 f"(currently {config.max_batch_frames}) before building "
                 f"the grid, or pass smaller unique_lanes/hit_lanes.")
         # frontend, vectorized over frames (planar (3,K,N) broadcasting)
-        zmin, zmax = config.z_clip
-        zclip = (points_cam[:, 2] > zmin) & (points_cam[:, 2] < zmax)
-        world_k = jax.vmap(geometry.transform_points)(points_cam, pose)
-        wpl = world_k.transpose(1, 0, 2)              # (3,K,N)
-        coords = geometry.cell_coords(wpl, config)
-        if offset is not None:
-            coords = coords - offset[:, None, None]
-        valid_k = (mask & zclip
-                   & geometry.valid_points(wpl, config)
-                   & geometry.valid_coords(coords, config))
+        if pre_transformed:
+            # routed ingest (parallel/routing.py): points are already
+            # world-space, clipped and validated by the routing frontend —
+            # keep only the local coord-window test, as in the
+            # single-frame pre_transformed path (_frontend)
+            wpl = points_cam.transpose(1, 0, 2)       # (3,K,N)
+            coords = geometry.cell_coords(wpl, config)
+            if offset is not None:
+                coords = coords - offset[:, None, None]
+            valid_k = mask & geometry.valid_coords(coords, config)
+        else:
+            zmin, zmax = config.z_clip
+            zclip = (points_cam[:, 2] > zmin) & (points_cam[:, 2] < zmax)
+            world_k = jax.vmap(geometry.transform_points)(points_cam, pose)
+            wpl = world_k.transpose(1, 0, 2)              # (3,K,N)
+            coords = geometry.cell_coords(wpl, config)
+            if offset is not None:
+                coords = coords - offset[:, None, None]
+            valid_k = (mask & zclip
+                       & geometry.valid_points(wpl, config)
+                       & geometry.valid_coords(coords, config))
         ids = geometry.cell_id(coords, config).reshape(M)
         world = wpl.reshape(3, M)
         valid = valid_k.reshape(M)

@@ -92,7 +92,9 @@ def cmd_fuse(args) -> int:
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx, FusionSession(cfg, output_dir=args.output,
                             n_devices=args.devices,
-                            route=args.route) as sess:
+                            route=args.route,
+                            route_betas=args.route_betas,
+                            batch_fill_wait=2.0) as sess:
         sess.run_source(src)
         result = sess.process(variants=variants)
         m = sess.metrics()
@@ -186,7 +188,8 @@ def cmd_serve(args) -> int:
     from .session import FusionSession
     cfg = _build_config(args)
     session = FusionSession(cfg, output_dir=args.output,
-                            n_devices=args.devices, route=args.route)
+                            n_devices=args.devices, route=args.route,
+                            route_betas=args.route_betas)
     with socketserver.ThreadingTCPServer(
             (args.host, args.port), _ControlHandler) as server:
         server.daemon_threads = True
@@ -215,6 +218,13 @@ def main(argv=None) -> int:
                         help="with --devices > 1: route points to owner "
                              "slabs over ICI (throughput scaling) instead "
                              "of replicating frames (lossless fallback)")
+        sp.add_argument("--route-betas", type=float, nargs="+",
+                        dest="route_betas",
+                        help="ascending send-budget tier ladder for "
+                             "--route (beta ~= receive lanes per device / "
+                             "(points/device)); default '2 n_devices' is "
+                             "lossless by construction — each dispatch "
+                             "picks the smallest covering tier on device")
         sp.add_argument("--bbox", type=float, nargs=6,
                         metavar=("XMIN", "XMAX", "YMIN", "YMAX",
                                  "ZMIN", "ZMAX"))

@@ -62,16 +62,21 @@ class FusionSession:
                  pose_provider: Optional[PoseProvider] = None,
                  final_refine: bool = True,
                  n_devices: int = 1,
-                 route: bool = False):
+                 route: bool = False,
+                 route_betas=None,
+                 batch_fill_wait: float = 0.0):
         """``n_devices > 1`` runs the slab-sharded pipeline over a device
         mesh (parallel/sharding.py) behind the identical session contract;
         ``route=True`` additionally routes points to owner slabs over ICI
-        instead of replicating frames.  The global config is then allowed
-        to exceed single-chip caps (it is validated per-shard)."""
+        instead of replicating frames (``route_betas``: ascending send-
+        budget tier ladder; default (2, n_devices) is lossless by
+        construction, see parallel/routing.py).  The global config is then
+        allowed to exceed single-chip caps (it is validated per-shard)."""
         if n_devices > 1:
             from ..parallel.sharding import ShardedPipeline
             self.pipeline = ShardedPipeline(config, n_devices=n_devices,
-                                            route=route)
+                                            route=route,
+                                            route_betas=route_betas)
             self.config = config             # per-shard validation inside
         else:
             self.config = config.validate()
@@ -90,6 +95,29 @@ class FusionSession:
 
         self._grid: GridState = self.pipeline.init()
         self._jrays = None          # device-resident rays (depth ingest)
+        # K-frame batched dispatch (ops/integrate.py batched mode): the
+        # largest K <= max_batch_frames that DIVIDES refine_every, so a
+        # batch can never span a refine mark — batched and single-stepped
+        # sessions integrate and refine at identical frame numbers and
+        # produce identical grids (models/pipeline.refine_due).  The
+        # worker batches opportunistically: when the queue holds >= K
+        # aligned same-kind frames it dispatches one K-batch, else it
+        # single-steps — a live 30 Hz source self-regulates (when compute
+        # lags arrival the queue deepens until batches form).
+        kb = max(int(config.max_batch_frames), 1)
+        e = config.refine_every
+        if e > 0:
+            while e % kb:
+                kb -= 1
+        if not hasattr(self.pipeline, "step_batch_depth"):
+            kb = 1                  # sharded pipeline: per-frame routing
+        self._kb = kb
+        # Replay-style sessions (a producer that can outrun the device, e.g.
+        # cli fuse / bench.py) may let the worker wait this long for a full
+        # K-batch instead of single-stepping a half-filled queue — a
+        # latency-for-throughput knob.  Live sources keep 0.0: a frame is
+        # never delayed.
+        self._batch_fill_wait = float(batch_fill_wait)
         self.timers = StageTimers()
         self._frames_in = 0
         self._frames_integrated = 0
@@ -255,22 +283,22 @@ class FusionSession:
         ``rays`` is the scaled pinhole ray table (3,N) f32
         (utils/synthetic.camera_rays); it is uploaded ONCE on first use
         and must stay fixed for the session (one camera).  4 B/pixel on
-        the wire vs 25 planar — the production live-capture path.
-        Single-device sessions only (the sharded pipeline routes planar
-        world-space points; unproject on host for that path).
+        the wire vs 25 planar — the production live-capture path.  Works
+        on single-device AND sharded sessions (the routed frontend
+        unprojects on device before bucketing, parallel/sharding.py
+        ``_step_depth_r``).
         """
         self._frames_in += 1
         if not self._started:
             return False
         if rays is not None and self._jrays is None:
-            import jax.numpy as jnp
-            self._jrays = jnp.asarray(np.asarray(rays, np.float32))
+            if hasattr(self.pipeline, "put_rays"):
+                self._jrays = self.pipeline.put_rays(rays)
+            else:
+                import jax.numpy as jnp
+                self._jrays = jnp.asarray(np.asarray(rays, np.float32))
         if self._jrays is None:
             raise ValueError("push_depth_frame needs rays on first call")
-        if not hasattr(self.pipeline, "step_depth"):
-            raise NotImplementedError(
-                "depth ingest is single-device only; unproject on host "
-                "and use push_frame for sharded sessions")
         with self._qlock:
             if len(self._queue) == self._queue.maxlen:
                 self._frames_dropped += 1
@@ -292,73 +320,139 @@ class FusionSession:
     # ------------------------------------------------------------------
     # worker
     # ------------------------------------------------------------------
-    def _run(self) -> None:
+    @staticmethod
+    def _kind(frame) -> str:
+        return ("depth" if isinstance(frame, tuple) and frame[0] == "depth"
+                else "cloud")
+
+    def _pop_items(self):
+        """Pop 1 queue entry, or a full K-batch of same-kind/same-shape
+        frames when the batch would start at a K-aligned frame number
+        (K divides refine_every, so batches never span a refine mark)."""
+        kb = self._kb
+        if kb > 1 and self._batch_fill_wait > 0:
+            deadline = time.monotonic() + self._batch_fill_wait
+            while not self._shutdown and time.monotonic() < deadline:
+                with self._qlock:
+                    if (not self._queue
+                            or self._frames_integrated % kb != 0
+                            or len(self._queue) >= kb):
+                        break
+                time.sleep(0.001)
+        with self._qlock:
+            if not self._queue:
+                return []
+            self._busy = True
+            kb = self._kb
+            if (kb > 1 and len(self._queue) >= kb
+                    and self._frames_integrated % kb == 0):
+                head = self._kind(self._queue[0][0])
+                same = all(self._kind(self._queue[i][0]) == head
+                           for i in range(kb))
+                if same and head == "depth":
+                    shape = self._queue[0][0][1].shape
+                    same = all(self._queue[i][0][1].shape == shape
+                               for i in range(kb))
+                if same:
+                    return [self._queue.popleft() for _ in range(kb)]
+            return [self._queue.popleft()]
+
+    def _mark_integrated(self, k: int) -> None:
+        now = time.monotonic()
+        if self._t_first is None:
+            self._t_first = now
+        self._t_last = now
+        self._frames_integrated += k
+
+    def _decode_planar(self, frame, cfg):
+        """Host decode -> padded planar (3, N_max) layout + mask."""
+        xyz, rgb = decode_frame(
+            frame, blue_shift_bug=cfg.bug_compat_blue_shift)
+        n = min(xyz.shape[0], cfg.max_points)
+        if xyz.shape[0] > n:
+            # surfaced in metrics() — every other drop path has
+            # a counter, so this one must too (VERDICT r1 #6)
+            self._points_truncated += xyz.shape[0] - n
+            self._frames_truncated += 1
+            log.warning(
+                "frame has %d points > max_points=%d; "
+                "truncating (%d dropped)", xyz.shape[0],
+                cfg.max_points, xyz.shape[0] - n)
+        pts_p = np.zeros((3, cfg.max_points), np.float32)
+        rgb_p = np.zeros((3, cfg.max_points), np.float32)
+        pts_p[:, :n] = xyz[:n].T
+        rgb_p[:, :n] = rgb[:n].T
+        mask = np.zeros(cfg.max_points, bool)
+        mask[:n] = True
+        return pts_p, rgb_p, mask
+
+    def _dispatch(self, items) -> None:
+        """Integrate 1 frame (refine fused on device, models/pipeline
+        fusion_step*) or a K-batch (refine fired host-side at the same
+        marks — cadence needs only frame counts, never a device sync)."""
+        from ..models.pipeline import refine_due
         cfg = self.config
+        k = len(items)
+        depth = self._kind(items[0][0]) == "depth"
+        if depth:
+            n = min(items[0][0][1].shape[-1], cfg.max_points)
+            dq = np.stack([f[0][1][:n] for f in items])
+            r565 = np.stack([f[0][2][:n] for f in items])
+            counts = np.full((k,), n, np.int32)
+            poses = np.stack([np.asarray(p, np.float32)
+                              for _, p in items])
+            with self.timers.stage("device_step"), annotate("step"):
+                with self._glock:
+                    if k == 1:
+                        self._grid = self.pipeline.step_depth(
+                            self._grid, jnp.asarray(dq[0]),
+                            jnp.asarray(r565[0]),
+                            jnp.asarray(counts[0]),
+                            jnp.asarray(poses[0]), self._jrays)
+                    else:
+                        self._grid = self.pipeline.step_batch_depth(
+                            self._grid, jnp.asarray(dq),
+                            jnp.asarray(r565), jnp.asarray(counts),
+                            jnp.asarray(poses), self._jrays)
+        else:
+            with self.timers.stage("decode"), annotate("decode"):
+                dec = [self._decode_planar(f, cfg) for f, _ in items]
+                poses = np.stack([np.asarray(p, np.float32)
+                                  for _, p in items])
+            with self.timers.stage("device_step"), annotate("step"):
+                with self._glock:
+                    if k == 1:
+                        p, c, m = dec[0]
+                        self._grid = self.pipeline.step(
+                            self._grid, jnp.asarray(p), jnp.asarray(c),
+                            jnp.asarray(m), jnp.asarray(poses[0]))
+                    else:
+                        self._grid = self.pipeline.step_batch(
+                            self._grid,
+                            jnp.asarray(np.stack([d[0] for d in dec])),
+                            jnp.asarray(np.stack([d[1] for d in dec])),
+                            jnp.asarray(np.stack([d[2] for d in dec])),
+                            jnp.asarray(poses))
+        self._mark_integrated(k)
+        if (k > 1 and cfg.refine_every > 0
+                and refine_due(self._frames_integrated, k, cfg)):
+            with self.timers.stage("refine"), annotate("refine"):
+                with self._glock:
+                    self._grid = self.pipeline.refine(self._grid)
+
+    def _run(self) -> None:
         while not self._shutdown:
-            item = None
-            with self._qlock:
-                if self._queue:
-                    item = self._queue.popleft()
-                    self._busy = True
-            if item is None:
+            items = self._pop_items()
+            if not items:
                 self._busy = False
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            frame, pose = item
             try:
-                if isinstance(frame, tuple) and frame[0] == "depth":
-                    # sensor-native path: no host decode, the device
-                    # unprojects against the resident ray table
-                    _, dq, r565 = frame
-                    n = min(dq.shape[0], cfg.max_points)
-                    with self.timers.stage("device_step"), annotate("step"):
-                        with self._glock:
-                            self._grid = self.pipeline.step_depth(
-                                self._grid, jnp.asarray(dq[:n]),
-                                jnp.asarray(r565[:n]),
-                                jnp.asarray(np.int32(n)),
-                                jnp.asarray(pose, jnp.float32),
-                                self._jrays)
-                    now = time.monotonic()
-                    if self._t_first is None:
-                        self._t_first = now
-                    self._t_last = now
-                    self._frames_integrated += 1
-                    continue
-                with self.timers.stage("decode"), annotate("decode"):
-                    xyz, rgb = decode_frame(
-                        frame, blue_shift_bug=cfg.bug_compat_blue_shift)
-                    n = min(xyz.shape[0], cfg.max_points)
-                    if xyz.shape[0] > n:
-                        # surfaced in metrics() — every other drop path has
-                        # a counter, so this one must too (VERDICT r1 #6)
-                        self._points_truncated += xyz.shape[0] - n
-                        self._frames_truncated += 1
-                        log.warning(
-                            "frame has %d points > max_points=%d; "
-                            "truncating (%d dropped)", xyz.shape[0],
-                            cfg.max_points, xyz.shape[0] - n)
-                    # planar (3, N_max) device layout (see ops/geometry.py)
-                    pts_p = np.zeros((3, cfg.max_points), np.float32)
-                    rgb_p = np.zeros((3, cfg.max_points), np.float32)
-                    pts_p[:, :n] = xyz[:n].T
-                    rgb_p[:, :n] = rgb[:n].T
-                    mask = np.zeros(cfg.max_points, bool)
-                    mask[:n] = True
-                with self.timers.stage("device_step"), annotate("step"):
-                    with self._glock:
-                        self._grid = self.pipeline.step(
-                            self._grid, jnp.asarray(pts_p),
-                            jnp.asarray(rgb_p), jnp.asarray(mask),
-                            jnp.asarray(pose, jnp.float32))
-                now = time.monotonic()
-                if self._t_first is None:
-                    self._t_first = now
-                self._t_last = now
-                self._frames_integrated += 1
+                self._dispatch(items)
             except Exception:
-                log.exception("frame integration failed; frame dropped")
+                log.exception("frame integration failed; %d frame(s) "
+                              "dropped", len(items))
             finally:
                 self._busy = False
 

@@ -82,18 +82,124 @@ def test_routed_matches_single_device():
 
 
 def test_routed_lane_budgets_shrink():
-    """The point of routing: per-device integrate lane budgets scale ~1/d
-    (receive budget ~= beta*N/d), not with the full frame."""
+    """The point of routing: the COMMON-case tier's receive budget scales
+    ~1/d (R_0 ~= 2*N/d), while the top tier (beta = n, the lossless
+    fallback for spatially concentrated frames) sizes the static shapes."""
     sf2 = ShardedFusion(CFG, n_devices=2, route=True)
     sf4 = ShardedFusion(CFG, n_devices=4, route=True)
     N = CFG.max_points
-    # R = n*Bs ~= beta*N/d within lane-width rounding: at d=2 with beta=2
-    # that is exactly N (no shrink yet); at d=4 it must shrink
-    assert sf2.config.max_points <= N
-    assert sf4.config.max_points < N
-    assert sf4.config.max_points <= sf2.config.max_points
-    assert sf4.config.max_points >= 2.0 * N / 4   # beta=2 slack preserved
-    assert sf4.config.max_active_points == sf4.config.max_points
+    for sf, n in ((sf2, 2), (sf4, 4)):
+        r0 = n * sf.send_lanes_tiers[0]
+        assert r0 >= 2.0 * N / n                  # beta=2 slack preserved
+        assert r0 <= 2.0 * N / n + n * 128        # ...within lane rounding
+        # top tier covers a whole frame targeting ONE slab: Bs_top >= N/n
+        assert sf.send_lanes_tiers[-1] >= N // n
+        assert sf.config.max_points == n * sf.send_lanes_tiers[-1]
+    assert sf4.send_lanes_tiers[0] < sf2.send_lanes_tiers[0]
+    assert sf4.config.max_active_points == min(CFG.max_active_points,
+                                               sf4.config.max_points)
+
+
+def test_routed_concentrated_frames_lossless_at_defaults():
+    """A frame whose every point lands in ONE slab (the worst spatial
+    concentration) must not drop at the default tier ladder — the beta=n
+    top tier covers it by construction (VERDICT r2 missing #5)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, refine_every=0)
+    n_dev = 4
+    sf = ShardedFusion(cfg, n_devices=n_dev, route=True)
+    rng = np.random.default_rng(11)
+    n = cfg.max_points                     # FULL frame, all valid lanes
+    pts = np.zeros((3, n), np.float32)
+    # every point inside slab 2's x window (local jitter well inside it)
+    xdim = cfg.global_x_cells
+    x_lo = cfg.bbox[0] + 2 * sf.slab_w * cfg.resolution[0]
+    x_hi = cfg.bbox[0] + min(3 * sf.slab_w, xdim) * cfg.resolution[0]
+    pts[0] = rng.uniform(x_lo + 0.02, x_hi - 0.02, n)
+    pts[1] = rng.uniform(-0.2, 0.2, n)
+    pts[2] = rng.uniform(-0.2, 0.2, n)
+    rgb = np.full((3, n), 128.0, np.float32)
+    mask = np.ones(n, bool)
+    pose = np.eye(4, dtype=np.float32)
+    grid = sf.integrate(sf.init(), jnp.asarray(pts), jnp.asarray(rgb),
+                        jnp.asarray(mask), jnp.asarray(pose))
+    m = sf.metrics(grid)
+    assert m["overflow_active"] == 0, m
+    # and the points actually landed
+    assert m["occupied_voxels_incl_halo"] > 0
+
+
+def test_routed_depth_wire_matches_single_device():
+    """Sensor-native u16 depth frames through the ROUTED sharded path must
+    extract the same cells/counts as the single-chip depth pipeline
+    (VERDICT r2 missing #4 / next #3)."""
+    from hifi_fusion_tpu.utils.synthetic import camera_rays, make_depth_sweep
+    import dataclasses
+    cfg = dataclasses.replace(
+        small_test_config(z_clip=(0.05, 10.0)), refine_every=0)
+    rays = camera_rays(64, 64, fx=80.0, fy=80.0)
+    frames = make_depth_sweep(cfg, 4, width=64, height=64, srays=rays,
+                              seed=3, noise_sd=3e-4, camera_height=0.4)
+    jrays = jnp.asarray(rays)
+
+    pipe = FusionPipeline(cfg)
+    g1 = pipe.init()
+    for i, f in enumerate(frames):
+        g1 = pipe.integrate(g1, jnp.asarray(f.depth_q),
+                            jnp.asarray(f.rgb565),
+                            jnp.asarray(np.int32(f.count)),
+                            jnp.asarray(f.pose), rays=jrays)
+        if (i + 1) % 2 == 0:
+            g1 = pipe.refine(g1)
+    g1 = pipe.refine(g1)
+    single = to_host(pipe.extract(g1))
+
+    sf = ShardedFusion(cfg, n_devices=4, route=True)
+    srays = sf.put_rays(rays)
+    grid = sf.init()
+    for i, f in enumerate(frames):
+        grid = sf.step_depth(grid, jnp.asarray(f.depth_q),
+                             jnp.asarray(f.rgb565),
+                             jnp.asarray(np.int32(f.count)),
+                             jnp.asarray(f.pose), srays)
+        if (i + 1) % 2 == 0:
+            grid = sf.refine(grid)
+    grid = sf.refine(grid)
+    m = sf.metrics(grid)
+    assert m["overflow_active"] == 0, m
+    routed = sf.extract(grid).to_host()
+    np.testing.assert_array_equal(routed["cell"], single["cell"])
+    np.testing.assert_array_equal(routed["count"], single["count"])
+    np.testing.assert_array_equal(routed["n_pts"], single["n_pts"])
+
+
+def test_routed_batched_matches_per_frame():
+    """K-frame batched routed integrate (one all_to_all + one batched
+    integrate per batch) == per-frame routed integrate (VERDICT r2 weak
+    #4: the mesh never exercised the batched path)."""
+    frames = _frames(4, 600, seed=5)
+    sfa = ShardedFusion(CFG, n_devices=4, route=True)
+    ga = sfa.init()
+    for f in frames:
+        ga = sfa.integrate(ga, jnp.asarray(f.points_cam),
+                           jnp.asarray(f.rgb), jnp.asarray(f.mask),
+                           jnp.asarray(f.pose))
+    ga = sfa.refine(ga)
+    a = sfa.extract(ga).to_host()
+
+    sfb = ShardedFusion(CFG, n_devices=4, route=True)
+    gb = sfb.init()
+    gb = sfb.step_batch(
+        gb,
+        jnp.asarray(np.stack([f.points_cam for f in frames])),
+        jnp.asarray(np.stack([f.rgb for f in frames])),
+        jnp.asarray(np.stack([f.mask for f in frames])),
+        jnp.asarray(np.stack([f.pose for f in frames])))
+    gb = sfb.refine(gb)
+    b = sfb.extract(gb).to_host()
+    np.testing.assert_array_equal(a["cell"], b["cell"])
+    np.testing.assert_array_equal(a["n_pts"], b["n_pts"])
+    np.testing.assert_array_equal(a["count"], b["count"])
 
 
 def test_routed_overflow_counted_not_silent():

@@ -1,0 +1,114 @@
+"""The session's K-frame batched dispatch must be invisible in results:
+batched and single-stepped sessions integrate and refine at identical frame
+numbers (models/pipeline.refine_due — K divides refine_every, batches never
+span a mark) and export identical clouds.  This is the product side of
+VERDICT r2 #1/weak #5: one execution path, one cadence.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from hifi_fusion_tpu.config import small_test_config
+from hifi_fusion_tpu.models.pipeline import FusionPipeline, refine_due
+from hifi_fusion_tpu.runtime.session import FusionSession
+from hifi_fusion_tpu.utils.synthetic import camera_rays, make_depth_sweep
+
+CFG = small_test_config(refine_every=4, max_batch_frames=4,
+                        z_clip=(0.05, 10.0))
+RAYS = camera_rays(64, 64, fx=80.0, fy=80.0)
+
+
+def _frames(n=8, seed=0):
+    return make_depth_sweep(CFG, n, width=64, height=64, srays=RAYS,
+                            seed=seed, noise_sd=3e-4, camera_height=0.4)
+
+
+def _run_session(cfg, frames, tmp, tag, wait=2.0):
+    out = os.path.join(tmp, tag)
+    with FusionSession(cfg, output_dir=out, queue_depth=64,
+                       batch_fill_wait=wait) as s:
+        s.start()
+        for f in frames:
+            s.push_depth_frame(f.depth_q, f.rgb565, f.pose, rays=RAYS)
+        assert s.drain(600)
+        r = s.process(ascii_mode=False)
+        m = s.metrics()
+    assert m["frames_integrated"] == len(frames)
+    for k, v in r["grid_metrics"].items():
+        if k.startswith("overflow"):
+            assert v == 0, (k, v)
+    return r
+
+
+def test_batched_session_matches_single(tmp_path):
+    frames = _frames(8)
+    rb = _run_session(CFG, frames, str(tmp_path), "batched")
+    cfg1 = dataclasses.replace(CFG, max_batch_frames=1)
+    r1 = _run_session(cfg1, frames, str(tmp_path), "single")
+    assert rb["n_points"] == r1["n_points"] > 0
+    # integer outputs are bit-exact between batched and single integration;
+    # f32 stats may differ in the last ulp (addition order: one batched
+    # segment sum vs K sequential scatter-adds)
+    from hifi_fusion_tpu.io.pcd import read_metadata_csv, read_pcd
+    a, na = read_pcd(rb["cloud"])
+    b, nb = read_pcd(r1["cloud"])
+    assert na == nb
+    for f in ("x", "y", "z", "normal_x", "normal_y", "normal_z"):
+        np.testing.assert_allclose(a[f], b[f], atol=2e-6)
+    ma = read_metadata_csv(rb["metadata"])
+    mb = read_metadata_csv(r1["metadata"])
+    np.testing.assert_array_equal(ma["count"], mb["count"])
+    np.testing.assert_allclose(ma["mean_dist"], mb["mean_dist"], atol=1e-6)
+
+
+def test_batch_never_spans_refine_mark():
+    # kb = largest divisor of refine_every <= max_batch_frames
+    cfg = dataclasses.replace(CFG, refine_every=12, max_batch_frames=8)
+    with FusionSession(cfg, output_dir=".") as s:
+        assert s._kb == 6
+    cfg = dataclasses.replace(CFG, refine_every=8, max_batch_frames=8)
+    with FusionSession(cfg, output_dir=".") as s:
+        assert s._kb == 8
+    cfg = dataclasses.replace(CFG, refine_every=0, max_batch_frames=8)
+    with FusionSession(cfg, output_dir=".") as s:
+        assert s._kb == 8
+
+
+def test_refine_due_partition_invariant():
+    """Any partition of a frame stream into dispatches fires refines at
+    exactly the multiples of refine_every."""
+    e = CFG.refine_every
+    for ks in ([1] * 16, [4] * 4, [4, 1, 1, 1, 1, 4, 4]):
+        done = 0
+        fired = []
+        for k in ks:
+            done += k
+            if refine_due(done, k, CFG):
+                fired.append(done)
+        marks = [m for m in range(1, done + 1) if m % e == 0]
+        # batched dispatches fire at the covering batch boundary
+        expect = sorted({min(x for x in np.cumsum(ks) if x >= m)
+                         for m in marks})
+        assert fired == expect, (ks, fired, expect)
+
+
+def test_extract_cap_fallback(tmp_path):
+    """A too-small extract_cap must fall back to the uncapped extract —
+    never a truncated cloud."""
+    import jax.numpy as jnp
+    cfg = dataclasses.replace(CFG, extract_cap=8)
+    pipe = FusionPipeline(cfg)
+    frames = _frames(4)
+    g = pipe.init()
+    jrays = jnp.asarray(RAYS)
+    for f in frames:
+        g = pipe.integrate(g, jnp.asarray(f.depth_q),
+                           jnp.asarray(f.rgb565),
+                           jnp.asarray(np.int32(f.count)),
+                           jnp.asarray(f.pose), rays=jrays)
+    g = pipe.refine(g)
+    host = pipe.extract_host(g)
+    assert host["cell"].size > 8      # fallback produced the full cloud

@@ -35,95 +35,65 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
-    from bench import bench_config
-    from hifi_fusion_tpu.grid import make_grid
-    from hifi_fusion_tpu.ops.extract import extract
+    from bench import BATCH, bench_config
+    from hifi_fusion_tpu.grid import grid_metrics, quick_counts
+    from hifi_fusion_tpu.models.pipeline import FusionPipeline
     from hifi_fusion_tpu.ops.integrate import integrate_frame
-    from hifi_fusion_tpu.ops.refine import refine_pass
-
-    cfg = bench_config()
-    grid = make_grid(cfg)
-    N = cfg.max_points
-    pts = jnp.zeros((3, N), jnp.float32)
-    rgb = jnp.zeros((3, N), jnp.float32)
-    mask = jnp.zeros((N,), bool)
-    pose = jnp.eye(4, dtype=jnp.float32)
-
-    t0 = time.monotonic()
-    grid = integrate_frame(grid, pts, rgb, mask, pose, config=cfg)
-    np.asarray(grid.frames)
-    log(f"integrate_frame@bench: {time.monotonic()-t0:.1f}s")
-    # the packed wire-format variant (bench.py BENCH_PACKED default)
-    t0 = time.monotonic()
-    grid = integrate_frame(
-        grid, jnp.zeros((3, N), jnp.uint16), jnp.zeros((N,), jnp.uint32),
-        jnp.asarray(np.int32(0)), pose, config=cfg,
-        quant=jnp.asarray(np.asarray([[1.0, 1.0, 1.0],
-                                      [0.0, 0.0, 0.0]], np.float32)))
-    np.asarray(grid.frames)
-    log(f"integrate_frame@bench packed-u16: {time.monotonic()-t0:.1f}s")
-    # the sensor-native depth wire (bench.py BENCH_WIRE default) with the
-    # device-tiered dep-width dispatch bench.py issues (dep_width_tiers)
-    from bench import DW_TIERS, STEADY_DW
     from hifi_fusion_tpu.utils.synthetic import camera_rays
+
+    # warm exactly the jitted callables the PRODUCT session dispatches
+    # (bench.py drives FusionSession since round 3, so these are also the
+    # bench programs): batched + single depth step, tiered refine, capped
+    # extract, metrics.
+    cfg = bench_config()
+    pipe = FusionPipeline(cfg)
+    grid = pipe.init()
+    N = cfg.max_points
+    pose = jnp.eye(4, dtype=jnp.float32)
     jrays = jnp.asarray(camera_rays(640, N // 640))
-    dkw = {} if STEADY_DW is None else dict(dep_width_tiers=DW_TIERS)
-    t0 = time.monotonic()
-    grid = integrate_frame(grid, jnp.zeros((N,), jnp.uint16),
-                           jnp.zeros((N,), jnp.uint16),
-                           jnp.asarray(np.int32(0)), pose, config=cfg,
-                           rays=jrays, **dkw)
-    np.asarray(grid.frames)
-    log(f"integrate_frame@bench depth dep_width_tiers={DW_TIERS}: "
-        f"{time.monotonic()-t0:.1f}s")
-    from bench import BATCH
+
     if BATCH > 1:
-        from bench import BATCH_UNIQUE, BATCH_HITS, BATCH_PAIRS, WIRE
-        bkw = dict(unique_lanes=min(BATCH_UNIQUE,
-                                    BATCH * cfg.max_unique_per_frame),
-                   hit_lanes=min(BATCH_HITS, BATCH * cfg.max_hit_voxels),
-                   pair_lanes=min(BATCH_PAIRS,
-                                  BATCH * cfg.max_stream_pairs))
-        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
-                                 (BATCH, 4, 4))
-        kw = dict(bkw, **dkw)
+        poses = jnp.broadcast_to(pose, (BATCH, 4, 4))
         t0 = time.monotonic()
-        if WIRE == "depth":
-            grid = integrate_frame(
-                grid, jnp.zeros((BATCH, N), jnp.uint16),
-                jnp.zeros((BATCH, N), jnp.uint16),
-                jnp.zeros((BATCH,), jnp.int32), poses,
-                config=cfg, rays=jrays, **kw)
-        else:
-            grid = integrate_frame(
-                grid, jnp.zeros((BATCH, 3, N), jnp.float32),
-                jnp.zeros((BATCH, 3, N), jnp.float32),
-                jnp.zeros((BATCH, N), bool), poses, config=cfg, **kw)
+        grid = pipe.step_batch_depth(
+            grid, jnp.zeros((BATCH, N), jnp.uint16),
+            jnp.zeros((BATCH, N), jnp.uint16),
+            jnp.zeros((BATCH,), jnp.int32), poses, jrays)
         np.asarray(grid.frames)
-        log(f"integrate_frame@bench batched K={BATCH} wire={WIRE} "
-            f"dep_width_tiers={DW_TIERS}: {time.monotonic()-t0:.1f}s")
-    # the device-tiered refine program bench.py dispatches every cadence
-    # (steady + mid + full-fallback branches in ONE executable), plus the
-    # plain full-budget program (--verify / session / library path)
-    from bench import REFINE_TIERS, REPLAY_TIERS, EXTRACT_CAP
+        log(f"step_batch_depth@bench K={BATCH}: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
+    grid = pipe.step_depth(grid, jnp.zeros((N,), jnp.uint16),
+                           jnp.zeros((N,), jnp.uint16),
+                           jnp.asarray(np.int32(0)), pose, jrays)
     np.asarray(grid.frames)
-    log(f"refine_pass@bench tiers={REFINE_TIERS}: "
+    log(f"step_depth@bench (fused tiered refine): "
         f"{time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg)
+    grid = pipe.refine(grid)
     np.asarray(grid.frames)
-    log(f"refine_pass@bench full: {time.monotonic()-t0:.1f}s")
+    log(f"refine@bench tiers={cfg.refine_tiers}: "
+        f"{time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    r = extract(grid, config=cfg, cap=EXTRACT_CAP)
+    r = pipe.extract(grid)
     np.asarray(r.n_valid)
-    log(f"extract@bench cap={EXTRACT_CAP}: {time.monotonic()-t0:.1f}s")
+    log(f"extract@bench cap={cfg.extract_cap}: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    from hifi_fusion_tpu.grid import quick_counts
+    grid_metrics(grid, cfg)
     quick_counts(grid, cfg)
-    log(f"quick_counts: {time.monotonic()-t0:.1f}s")
+    log(f"grid_metrics+quick_counts: {time.monotonic()-t0:.1f}s")
+    # --verify's wire ingest variants (planar f32 + single-frame depth
+    # through the raw integrate_frame entry point)
+    t0 = time.monotonic()
+    grid2 = pipe.init()
+    grid2 = integrate_frame(grid2, jnp.zeros((3, N), jnp.float32),
+                            jnp.zeros((3, N), jnp.float32),
+                            jnp.zeros((N,), bool), pose, config=cfg)
+    grid2 = integrate_frame(grid2, jnp.zeros((N,), jnp.uint16),
+                            jnp.zeros((N,), jnp.uint16),
+                            jnp.asarray(np.int32(0)), pose, config=cfg,
+                            rays=jrays)
+    np.asarray(grid2.frames)
+    log(f"integrate_frame verify variants: {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()
     import __graft_entry__
