@@ -93,7 +93,13 @@ def integrate_tsdf_impl(grid: TsdfGrid, points_cam, rgb, mask, pose,
     dist = jnp.sqrt(jnp.sum(ray * ray, axis=0))
     dirn = ray / jnp.maximum(dist, 1e-6)[None, :]
 
-    s = jnp.linspace(-tau, tau, S, dtype=f32)                  # (S,)
+    # Centered-integer sample offsets (NOT linspace: jnp.linspace computes
+    # the endpoint as start + k*step, one ulp above tau, while NumPy pins
+    # it exactly — the difference flips borderline |tsdf| < tau extraction
+    # gates between device and oracle).  step is host-computed f64 cast to
+    # f32 so the oracle (oracle/tsdf_oracle.py) reproduces it bit-exactly.
+    step = jnp.float32(2.0 * config.truncation / (S - 1))
+    s = (jnp.arange(S, dtype=f32) - f32((S - 1) / 2.0)) * step  # (S,)
     pos = world[:, None, :] + s[None, :, None] * dirn[:, None, :]  # (3,S,N)
     coords = geometry.cell_coords(pos, cfg)
     valid = (mask[None, :] & zclip[None, :]
@@ -227,8 +233,22 @@ extract_tsdf = partial(jax.jit,
                        static_argnames=("config",))(extract_tsdf_impl)
 
 
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
+def integrate_tsdf_depth(grid: TsdfGrid, depth_q, rgb565, count, pose, rays,
+                         *, config: TsdfConfig) -> TsdfGrid:
+    """Sensor-native depth ingest for the TSDF family (same u16 z-depth +
+    rgb565 wire as the flagship pipeline; ops/integrate._unpack_inputs)."""
+    from ..ops.integrate import _unpack_inputs
+    p, c, m = _unpack_inputs(depth_q, rgb565, count, None, rays)
+    return integrate_tsdf_impl(grid, p, c, m, pose, config=config)
+
+
 class TsdfPipeline:
-    """Convenience bundle mirroring FusionPipeline for the TSDF family."""
+    """FusionPipeline-shaped bundle for the TSDF family: the host runtime
+    (runtime/session.py) drives it through the identical interface, so
+    ``FusionSession(cfg, model="tsdf")`` and ``cli fuse --model tsdf`` get
+    start/stop/process/metrics/checkpoint for free.  ``refine`` is a no-op
+    (TSDF has no deferred phase — every sample lands at integrate time)."""
 
     def __init__(self, config: TsdfConfig):
         config.base.validate()
@@ -241,8 +261,54 @@ class TsdfPipeline:
         return integrate_tsdf(grid, points_cam, rgb, mask, pose,
                               config=self.config)
 
+    def step_depth(self, grid, depth_q, rgb565, count, pose, rays
+                   ) -> TsdfGrid:
+        return integrate_tsdf_depth(grid, depth_q, rgb565, count, pose,
+                                    rays, config=self.config)
+
+    def refine(self, grid) -> TsdfGrid:
+        return grid
+
     def extract(self, grid) -> TsdfExtract:
         return extract_tsdf(grid, config=self.config)
+
+    # -- host-facing interface shared with FusionPipeline ----------------
+    def extract_host(self, grid) -> dict:
+        """TSDF surface -> the export dict the session's process() writes.
+        Field mapping for the shared PCD/CSV writers: ``count`` = integer
+        TSDF weight (samples fused), ``mean_dist`` = signed distance of
+        the cell center to the implicit surface (the TSDF value), ``sd`` /
+        ``sd_dist`` = 0 (TSDF accumulates first moments only)."""
+        import numpy as np
+        h = tsdf_to_host(self.extract(grid))
+        n = h["cell"].shape[0]
+        return {
+            "cell": h["cell"],
+            "centroid": h["centroid"],
+            "normal": h["normal"],
+            "rgb": h["rgb"],
+            "count": np.round(h["weight"]).astype(np.int32),
+            "mean_dist": h["tsdf"],
+            "sd": np.zeros((n, 3), np.float32),
+            "sd_dist": np.zeros((n,), np.float32),
+            "n_pts": np.round(h["weight"]).astype(np.int32),
+        }
+
+    def grid_metrics(self, grid) -> dict:
+        import numpy as np
+        C = self.config.base.capacity
+        occ = int(np.asarray(jnp.sum(
+            (grid.key[:C] >= 0).astype(jnp.int32))))
+        return {
+            "occupied_voxels": occ,
+            "frames": int(grid.frames),
+            "overflow_probe": int(grid.overflow_probe),
+            "overflow_unique": int(grid.overflow_unique),
+        }
+
+    def put_state(self, state: TsdfGrid) -> TsdfGrid:
+        return TsdfGrid(**{f: jnp.asarray(getattr(state, f))
+                           for f in TsdfGrid._fields})
 
 
 def tsdf_to_host(result: TsdfExtract) -> dict:

@@ -31,11 +31,25 @@ import numpy as np
 from ..config import FusionConfig
 
 
+def _model_params(args) -> dict:
+    """TSDF knobs: flags > the JSON config file's "tsdf" object."""
+    params = dict(getattr(args, "_tsdf_json", None) or {})
+    for flag, key in (("tsdf_truncation", "truncation"),
+                      ("tsdf_samples", "n_samples"),
+                      ("tsdf_min_weight", "min_weight")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            params[key] = v
+    return params
+
+
 def _build_config(args) -> FusionConfig:
     base = {}
     if getattr(args, "config", None):
         with open(args.config) as f:
             base.update(json.load(f))
+    args._tsdf_json = base.pop("tsdf", None)   # TsdfConfig params, not
+    #                                            FusionConfig fields
     if getattr(args, "bbox", None):
         base["bbox"] = tuple(args.bbox)
     if getattr(args, "resolution", None):
@@ -94,6 +108,8 @@ def cmd_fuse(args) -> int:
                             n_devices=args.devices,
                             route=args.route,
                             route_betas=args.route_betas,
+                            model=args.model,
+                            model_params=_model_params(args),
                             batch_fill_wait=2.0) as sess:
         sess.run_source(src)
         result = sess.process(variants=variants)
@@ -189,7 +205,9 @@ def cmd_serve(args) -> int:
     cfg = _build_config(args)
     session = FusionSession(cfg, output_dir=args.output,
                             n_devices=args.devices, route=args.route,
-                            route_betas=args.route_betas)
+                            route_betas=args.route_betas,
+                            model=args.model,
+                            model_params=_model_params(args))
     with socketserver.ThreadingTCPServer(
             (args.host, args.port), _ControlHandler) as server:
         server.daemon_threads = True
@@ -232,6 +250,19 @@ def main(argv=None) -> int:
         sp.add_argument("--refine-every", type=int, dest="refine_every")
         sp.add_argument("--capacity-log2", type=int, dest="capacity_log2")
         sp.add_argument("--max-points", type=int, dest="max_points")
+        sp.add_argument("--model", choices=("fusion", "tsdf"),
+                        default="fusion",
+                        help="device model family: the flagship cylinder-"
+                             "filtered fusion pipeline, or the TSDF "
+                             "weighted-average variant (models/tsdf.py)")
+        sp.add_argument("--tsdf-truncation", type=float,
+                        dest="tsdf_truncation",
+                        help="TSDF truncation band tau in meters")
+        sp.add_argument("--tsdf-samples", type=int, dest="tsdf_samples",
+                        help="ray samples inside +-tau")
+        sp.add_argument("--tsdf-min-weight", type=float,
+                        dest="tsdf_min_weight",
+                        help="extraction weight gate")
 
     sp = sub.add_parser("synth", help="generate a synthetic sweep .npz")
     add_cfg(sp)

@@ -64,6 +64,8 @@ class FusionSession:
                  n_devices: int = 1,
                  route: bool = False,
                  route_betas=None,
+                 model: str = "fusion",
+                 model_params: Optional[Dict] = None,
                  batch_fill_wait: float = 0.0):
         """``n_devices > 1`` runs the slab-sharded pipeline over a device
         mesh (parallel/sharding.py) behind the identical session contract;
@@ -71,13 +73,29 @@ class FusionSession:
         instead of replicating frames (``route_betas``: ascending send-
         budget tier ladder; default (2, n_devices) is lossless by
         construction, see parallel/routing.py).  The global config is then
-        allowed to exceed single-chip caps (it is validated per-shard)."""
+        allowed to exceed single-chip caps (it is validated per-shard).
+
+        ``model`` selects the device-side model family: ``"fusion"`` (the
+        flagship cylinder-filtered pipeline) or ``"tsdf"`` (models/tsdf.py;
+        ``model_params`` feeds TsdfConfig: truncation, n_samples,
+        min_weight, surface_band)."""
+        if model not in ("fusion", "tsdf"):
+            raise ValueError(f"unknown model {model!r}")
         if n_devices > 1:
+            if model != "fusion":
+                raise NotImplementedError(
+                    "sharded sessions support the flagship fusion model "
+                    "only; the TSDF variant is single-device")
             from ..parallel.sharding import ShardedPipeline
             self.pipeline = ShardedPipeline(config, n_devices=n_devices,
                                             route=route,
                                             route_betas=route_betas)
             self.config = config             # per-shard validation inside
+        elif model == "tsdf":
+            from ..models.tsdf import TsdfConfig, TsdfPipeline
+            self.config = config.validate()
+            self.pipeline = TsdfPipeline(
+                TsdfConfig(base=config, **(model_params or {})))
         else:
             self.config = config.validate()
             self.pipeline = FusionPipeline(config)
@@ -506,7 +524,8 @@ class FusionSession:
 
     def load_state(self, path: str) -> None:
         z = np.load(path)
-        state = GridState(**{f: z[f] for f in GridState._fields})
+        cls = type(self._grid)           # GridState or TsdfGrid
+        state = cls(**{f: z[f] for f in cls._fields})
         with self._glock:
             self._grid = self.pipeline.put_state(state)
 
