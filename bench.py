@@ -52,7 +52,9 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 100))
 POINTS = int(os.environ.get("BENCH_POINTS", 640 * 480))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
-REFINE_EVERY = 8
+# Refine cadence (frames between refine passes, applied identically to the
+# TPU session AND the C++ oracle baseline — the workload definition).
+REFINE_EVERY = int(os.environ.get("BENCH_REFINE_EVERY", 8))
 # K frames per integrate dispatch (ops/integrate.py batched mode): the
 # per-dispatch fixed machinery (hash insert, unique compaction, dep-row
 # gather, full-array scatter copies) runs once per BATCH at near-single-
@@ -84,7 +86,10 @@ REFINE_TIERS = (STEADY_BUDGETS, MID_BUDGETS)
 # t_rep (known only mid-pass), so a steady pass whose replay is near-empty
 # runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.
 REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21)
-EXTRACT_CAP = 1 << 20
+# Emission bound for the capped extract: the bench sweep peaks ~262k
+# voxels; 2^19 leaves 2x margin while keeping the full-array host fetch
+# (to_host) at ~36 MB (~1.8 s through the d->h tunnel).
+EXTRACT_CAP = 1 << 19
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
 # ~= 33 ms on the 37 MB/s axon tunnel, the 30 Hz sensor cadence), "q16" =
@@ -245,7 +250,9 @@ def bench_config(frames=None):
         resolution=(0.001, 0.001, 0.001),      # 1 mm pitch
         capacity_log2=22,
         max_points=POINTS,
-        buffer_capacity_log2=22,     # pre-normal peak: refine_every x N
+        # pre-normal buffered-point peak scales with the cadence:
+        # refine_every x N new-cell points between passes
+        buffer_capacity_log2=22 if REFINE_EVERY <= 8 else 23,
         max_refine_candidates=1 << 18,
         max_dependants=12,
         refine_every=REFINE_EVERY,

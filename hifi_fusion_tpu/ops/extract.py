@@ -135,7 +135,15 @@ _PLANAR_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 def to_host(result: ExtractResult) -> dict:
     """Device ExtractResult -> host dict of trimmed NumPy arrays (row-major
-    (n,3) vectors for I/O and analysis)."""
+    (n,3) vectors for I/O and analysis).
+
+    Fetches the FULL padded arrays deliberately: device-side slicing to
+    the live prefix was tried twice (exact-n and 64k-bucketed) and each
+    distinct slice shape compiles its own program on the axon service at
+    wildly variable cost (13 s to minutes) — dead-lane transfer bytes are
+    cheaper than compile roulette.  Size the transfer with
+    ``config.extract_cap`` instead: the fetch is cap * 68 B (~36 MB at
+    cap 2^19, ~1.8 s through the ~20 MB/s d->h tunnel)."""
     import numpy as np
     n = int(result.n_valid)
     if n > result.cell.shape[0]:
@@ -147,5 +155,5 @@ def to_host(result: ExtractResult) -> dict:
         if f == "n_valid":
             continue
         a = np.asarray(getattr(result, f))
-        out[f] = a[:, :n].T.copy() if f in _PLANAR_FIELDS else a[:n]
+        out[f] = a[:, :n].T.copy() if f in _PLANAR_FIELDS else a[:n].copy()
     return out

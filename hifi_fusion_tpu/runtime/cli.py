@@ -79,10 +79,22 @@ def _build_config(args) -> FusionConfig:
 
 
 def cmd_synth(args) -> int:
-    from .sources import SyntheticSource, save_sweep
     cfg = _build_config(args)
-    src = SyntheticSource(cfg, args.frames, args.points, seed=args.seed)
-    n = save_sweep(args.output, src)
+    if args.wire == "depth":
+        from ..utils.synthetic import camera_rays, make_depth_sweep
+        from .sources import save_depth_sweep
+        w = args.width
+        h = args.points // w
+        fx = args.fx if args.fx else 900.0 * w / 640.0
+        rays = camera_rays(w, h, fx=fx, fy=fx)
+        frames = make_depth_sweep(cfg, args.frames, width=w, height=h,
+                                  srays=rays, seed=args.seed,
+                                  noise_sd=3e-4, camera_height=0.4)
+        n = save_depth_sweep(args.output, frames, rays)
+    else:
+        from .sources import SyntheticSource, save_sweep
+        src = SyntheticSource(cfg, args.frames, args.points, seed=args.seed)
+        n = save_sweep(args.output, src)
     print(f"wrote {n} frames to {args.output}")
     return 0
 
@@ -95,12 +107,18 @@ def cmd_fuse(args) -> int:
     from .session import FusionSession
     from .sources import load_sweep
     cfg = _build_config(args)
+    depth_replay = None
     if os.path.isdir(args.sweep):
         # recorded capture: directory of PCD/PLY frames + pose trajectory
         from .capture import load_capture
         src = load_capture(args.sweep)
     else:
-        src = load_sweep(args.sweep)
+        from .sources import is_depth_sweep
+        if is_depth_sweep(args.sweep):
+            from .sources import load_depth_sweep
+            depth_replay = load_depth_sweep(args.sweep)
+        else:
+            src = load_sweep(args.sweep)
     variants = tuple(v for v in (args.export_variants or "").split(",")
                      if v)
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
@@ -111,7 +129,14 @@ def cmd_fuse(args) -> int:
                             model=args.model,
                             model_params=_model_params(args),
                             batch_fill_wait=2.0) as sess:
-        sess.run_source(src)
+        if depth_replay is not None:
+            frames, rays = depth_replay
+            sess.start()
+            for dq, r565, pose in frames:
+                sess.push_depth_frame(dq, r565, pose, rays=rays)
+            sess.drain()
+        else:
+            sess.run_source(src)
         result = sess.process(variants=variants)
         m = sess.metrics()
     print(json.dumps({"n_points": result["n_points"],
@@ -269,6 +294,15 @@ def main(argv=None) -> int:
     sp.add_argument("--frames", type=int, default=20)
     sp.add_argument("--points", type=int, default=4096)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--wire", choices=("xyzrgb", "depth"),
+                    default="xyzrgb",
+                    help="sweep format: interleaved float records, or the "
+                         "sensor-native u16 depth + rgb565 wire (4 B/px)")
+    sp.add_argument("--width", type=int, default=640,
+                    help="depth-wire image width (points = width*height)")
+    sp.add_argument("--fx", type=float,
+                    help="depth-wire focal length in px (default scales "
+                         "900 at 640 wide)")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_synth)
 

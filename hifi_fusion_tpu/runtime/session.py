@@ -206,30 +206,39 @@ class FusionSession:
             meta_path = os.path.join(self.output_dir, meta_name)
             with self._glock:
                 grid = self._grid
-                if self.final_refine:
-                    grid = self.pipeline.refine(grid)
-                    # refine donated the old buffers; repoint _grid NOW so
-                    # a failure below cannot leave it on deleted buffers
-                    self._grid = grid
-                host = self.pipeline.extract_host(grid)
-                if cloud_path.endswith(".ply"):
-                    from ..io import ply
-                    ply.write_ply(cloud_path, host["centroid"], host["rgb"],
-                                  host["normal"], ascii_mode=ascii_mode)
-                    from ..io import pcd as _pcd
-                    _pcd.write_metadata_csv(meta_path, host["sd"],
-                                            host["mean_dist"],
-                                            host["sd_dist"], host["count"])
-                    n = int(host["centroid"].shape[0])
-                else:
-                    n = downloads.download_data(host, cloud_path, meta_path,
-                                                ascii_mode=ascii_mode)
-                variant_paths = self._write_variants(
-                    host, cloud_path, variants, ascii_mode)
-                metrics = self.pipeline.grid_metrics(grid)
+                if self.final_refine and self._needs_final_refine():
+                    with self.timers.stage("process_refine"):
+                        grid = self.pipeline.refine(grid)
+                        # refine donated the old buffers; repoint _grid NOW
+                        # so a failure below cannot leave it on deleted
+                        # buffers
+                        self._grid = grid
+                with self.timers.stage("process_extract"):
+                    host = self.pipeline.extract_host(grid)
+                with self.timers.stage("process_export"):
+                    if cloud_path.endswith(".ply"):
+                        from ..io import ply
+                        ply.write_ply(cloud_path, host["centroid"],
+                                      host["rgb"], host["normal"],
+                                      ascii_mode=ascii_mode)
+                        from ..io import pcd as _pcd
+                        _pcd.write_metadata_csv(meta_path, host["sd"],
+                                                host["mean_dist"],
+                                                host["sd_dist"],
+                                                host["count"])
+                        n = int(host["centroid"].shape[0])
+                    else:
+                        n = downloads.download_data(host, cloud_path,
+                                                    meta_path,
+                                                    ascii_mode=ascii_mode)
+                    variant_paths = self._write_variants(
+                        host, cloud_path, variants, ascii_mode)
+                with self.timers.stage("process_metrics"):
+                    metrics = self.pipeline.grid_metrics(grid)
                 # snapshot-and-destroy, but leak-free by construction
                 # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
-                self._grid = self.pipeline.init()
+                with self.timers.stage("process_clear"):
+                    self._grid = self.pipeline.init()
         finally:
             self._started = was_started
         log.info("PROCESS: %d voxels -> %s", n, cloud_path)
@@ -381,6 +390,19 @@ class FusionSession:
             self._t_first = now
         self._t_last = now
         self._frames_integrated += k
+
+    def _needs_final_refine(self) -> bool:
+        """False iff the cadence already refined at exactly the current
+        frame count (fused on device for single steps, host-fired for
+        batches) — process()'s final refine would see zero new cells."""
+        from ..models.pipeline import refine_due
+        cfg = self.config
+        f = self._frames_integrated
+        if f == 0:
+            return False
+        if cfg.refine_every <= 0:
+            return True
+        return not refine_due(f, 1, cfg)
 
     def _decode_planar(self, frame, cfg):
         """Host decode -> padded planar (3, N_max) layout + mask."""

@@ -104,3 +104,40 @@ def _default_fields():
     from .decode import PointField
     return [PointField("x", 0), PointField("y", 4), PointField("z", 8),
             PointField("rgb", 12)]
+
+
+# ---------------------------------------------------------------------------
+# Sensor-native depth sweeps: the production wire format (u16 z-depth +
+# rgb565 + ray table; ops/integrate._unpack_inputs), 4 B/pixel on disk and
+# on the host->device link vs 16-25 planar.  ``cli fuse`` auto-detects the
+# format and replays through ``FusionSession.push_depth_frame``.
+# ---------------------------------------------------------------------------
+
+def save_depth_sweep(path: str, frames, rays: np.ndarray) -> int:
+    """Persist a list of utils.synthetic.DepthFrame (or any objects with
+    .depth_q/.rgb565/.pose) plus the camera ray table."""
+    np.savez_compressed(
+        path,
+        depth_q=np.stack([np.asarray(f.depth_q, np.uint16)
+                          for f in frames]),
+        rgb565=np.stack([np.asarray(f.rgb565, np.uint16) for f in frames]),
+        poses=np.stack([np.asarray(f.pose, np.float64) for f in frames]),
+        rays=np.asarray(rays, np.float32),
+    )
+    return len(frames)
+
+
+def load_depth_sweep(path: str):
+    """-> (list of (depth_q, rgb565, pose), rays) for push_depth_frame."""
+    z = np.load(path)
+    frames = [(z["depth_q"][i], z["rgb565"][i], z["poses"][i])
+              for i in range(z["depth_q"].shape[0])]
+    return frames, z["rays"]
+
+
+def is_depth_sweep(path: str) -> bool:
+    try:
+        with np.load(path) as z:
+            return "depth_q" in z.files
+    except Exception:
+        return False

@@ -32,9 +32,8 @@ def main():
                       STEADY_DW,
                       bench_config, bench_rays)
     from hifi_fusion_tpu.grid import make_grid, quick_counts
-    from hifi_fusion_tpu.ops.extract import extract
+    from hifi_fusion_tpu.models.pipeline import FusionPipeline
     from hifi_fusion_tpu.ops.integrate import integrate_frame
-    from hifi_fusion_tpu.ops.refine import refine_pass
     from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -66,14 +65,16 @@ def main():
             jnp.asarray(np.asarray([f.count for f in fs], np.int32)),
             jnp.asarray(np.stack([f.pose for f in fs]))))
 
-    grid = make_grid(cfg)
+    pipe = FusionPipeline(cfg)
+    grid = pipe.init()
 
     def fetch(g):
         return int(np.asarray(g.frames))
 
     def bstep(g, b):
+        # the EXACT session program (models/pipeline.integrate_batch_depth)
         d, r, c, p = stacks[b % len(stacks)]
-        return integrate_frame(g, d, r, c, p, config=cfg, rays=jrays, **bkw)
+        return pipe.step_batch_depth(g, d, r, c, p, jrays)
 
     # compile / first-touch-load both programs
     t0 = time.monotonic()
@@ -81,8 +82,7 @@ def main():
     fetch(grid)
     log(f"batched integrate compile+run: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
+    grid = pipe.refine(grid)
     fetch(grid)
     log(f"tiered refine compile+run: {time.monotonic()-t0:.1f}s")
 
@@ -98,8 +98,7 @@ def main():
 
     # refine over the full pre-normal history (tier-escalates on device)
     t0 = time.monotonic()
-    grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
+    grid = pipe.refine(grid)
     fetch(grid)
     log(f"tiered refine (first, full history): "
         f"{(time.monotonic()-t0)*1000:.1f} ms")
@@ -112,8 +111,7 @@ def main():
         fetch(grid)
         dt = time.monotonic() - t0
         ti = time.monotonic()
-        grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
+        grid = pipe.refine(grid)
         fetch(grid)
         tr = time.monotonic() - ti
         log(f"round {r}: integrate {dt/n_frames*1000:.1f} ms/frame "
@@ -123,7 +121,7 @@ def main():
             f"incl. refine")
 
     t0 = time.monotonic()
-    res = extract(grid, config=cfg, cap=EXTRACT_CAP)
+    res = pipe.extract(grid)
     nv = int(np.asarray(res.n_valid))
     log(f"extract cap={EXTRACT_CAP}: {(time.monotonic()-t0)*1000:.1f} ms "
         f"({nv} voxels)")
@@ -156,11 +154,10 @@ def main():
             grid = bstep(grid, 0)
             fetch(grid)
         with jax.profiler.trace(os.path.join(base, "refine_tiered")):
-            grid = refine_pass(grid, config=cfg, tiers=REFINE_TIERS,
-                           replay_tiers=REPLAY_TIERS)
+            grid = pipe.refine(grid)
             fetch(grid)
         with jax.profiler.trace(os.path.join(base, "extract")):
-            r2 = extract(grid, config=cfg, cap=EXTRACT_CAP)
+            r2 = pipe.extract(grid)
             np.asarray(r2.n_valid)
 
 

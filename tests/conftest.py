@@ -24,9 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 # compiles per program and the shard_map suites re-trigger them every
 # process (VERDICT r2 weak #7: the full suite outgrew a 10-minute budget).
 # AOT-cached programs reload in ms across pytest processes.
-_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(_repo, ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# HIFI_TEST_NO_CACHE=1 disables it (crash triage: a poisoned cache entry
+# reproduces only with the cache on).
+if os.environ.get("HIFI_TEST_NO_CACHE") != "1":
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_repo, ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
