@@ -272,12 +272,6 @@ def bench_config(frames=None):
         batch_unique_lanes=BATCH_UNIQUE,
         batch_hit_lanes=BATCH_HITS,
         batch_pair_lanes=BATCH_PAIRS,
-        # The Pallas frontend's custom-call payload hashes differently in
-        # every process (six distinct persistent-cache keys observed for
-        # identical source), so with it enabled each bench process pays a
-        # ~350-550 s integrate recompile.  The XLA frontend costs only a
-        # few ms/frame more and makes the compile cache actually hit.
-        use_pallas=False,
     ).validate()
 
 

@@ -83,9 +83,6 @@ class FusionConfig:
                                          # (ops/integrate.py batched mode)
 
     # ---- behavior ----
-    use_pallas: bool = True           # fused Pallas frontend kernel on TPU
-                                      # (transform+clip+cellid; falls back to
-                                      # the identical pure-XLA path off-TPU)
     store_color: bool = True          # accumulate per-voxel mean color
                                       # (reference decodes RGB but drops it:
                                       #  FUSION.cpp:204-212 vs GRID.hpp:456-601)

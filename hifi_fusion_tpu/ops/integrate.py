@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from ..config import FusionConfig
 from ..grid import GridState
-from . import geometry, hashing, pallas_kernels
+from . import geometry, hashing
 from .scatter import (end_positions, rows, scatter_add, scatter_set,
                       segment_ends, segment_fill, segment_reduce,
                       segment_starts, segment_sums)
@@ -58,7 +58,14 @@ _BIG = jnp.iinfo(jnp.int32).max
 
 def _frontend(points_cam, mask, pose, config, offset=None,
               pre_transformed=False):
-    """Transform + clip + cell id + validity (Pallas on TPU, XLA off-TPU).
+    """Transform + clip + cell id + validity.
+
+    Pure XLA by design: a fused Pallas frontend kernel was built, tested
+    and carried for two rounds, then deleted — XLA already fuses this
+    elementwise chain optimally, the kernel covered no production path
+    (the batched and depth-wire ingests inline the same math), and each
+    extra custom-call executable costs first-touch load time on the TPU
+    service (see README "Why no Pallas kernels").
 
     ``offset``: shard-local coordinate offset (see geometry.center_of_ids);
     world->coord math stays GLOBAL (bit-identical across shards), only the
@@ -76,10 +83,6 @@ def _frontend(points_cam, mask, pose, config, offset=None,
             coords = coords - offset[:, None]
         valid = mask & geometry.valid_coords(coords, config)
         return world, geometry.cell_id(coords, config), valid
-    if (config.use_pallas and offset is None
-            and pallas_kernels.frontend_available()):
-        return pallas_kernels.transform_clip_cellid(
-            points_cam, mask, pose, config=config)
     zmin, zmax = config.z_clip
     zclip = (points_cam[2] > zmin) & (points_cam[2] < zmax)
     world = geometry.transform_points(points_cam, pose)

@@ -164,28 +164,6 @@ def segment_fill(values: jax.Array, starts: jax.Array) -> jax.Array:
     return segment_reduce(values, starts, lambda a, b: a, kind="first")
 
 
-def _pallas_segscan_enabled() -> bool:
-    """Opt-in via HIFI_SEGSCAN=1 (requires a real TPU backend).
-
-    The kernel is validated on v5e (2026-08-18): bit-identical to the XLA
-    ladder, 2.25x faster standalone at the bench pair shape (37 -> 16 ms
-    for 16ch x 8.4M), and its custom-call payload is cache-key-stable
-    across processes (the round-1 instability is gone).  It is OFF by
-    default because in the FULL integrate program the win vanishes — A/B
-    on the bench config measured steady 75 vs 74 ms/frame (the ladder's
-    HBM streaming overlaps other work; the pair scans are not the
-    critical path at dep_width=8 / K=4) — while the segscan-containing
-    executable pays a ~280 s first-touch LOAD on the axon service (vs
-    0.8 s without), which a production process would eat on every start.
-    Off-TPU the XLA ladder is used (the Pallas interpret path exists for
-    unit tests but iterates the grid in Python — too slow for suites)."""
-    import os
-    if os.environ.get("HIFI_SEGSCAN") != "1":
-        return False
-    from . import pallas_segscan
-    return pallas_segscan.available()
-
-
 def segment_reduce(values: jax.Array, starts: jax.Array, op,
                    kind: str = None) -> jax.Array:
     """segment_sums with an arbitrary associative combine ``op`` (e.g.
@@ -236,16 +214,18 @@ def segment_reduce(values: jax.Array, starts: jax.Array, op,
     if npad:
         v = jnp.concatenate([v, jnp.zeros((k, npad), v.dtype)], axis=-1)
         f = jnp.concatenate([f, jnp.zeros((npad,), f.dtype)], axis=-1)
+    # NB a Pallas single-pass VMEM-resident kernel for this in-block ladder
+    # was built, validated bit-identical and 2.25x faster STANDALONE
+    # (37 -> 16 ms at 16ch x 8.4M) — and deleted: in the full integrate
+    # program it measured NEUTRAL at K=4 (75 vs 74 ms/frame) and a 2.2x
+    # END-TO-END LOSS at K=8 (bench steady loop 14.6 s vs 6.5 s,
+    # 2026-08-19), plus a multi-minute first-touch executable load per
+    # process on the axon service.  XLA overlaps the ladder's HBM traffic
+    # with surrounding work; the custom call serializes it.  See README
+    # "Why no Pallas kernels".
     vb = v.reshape(k, nb, BS)
     fb = f.reshape(nb, BS)
-    if kind is not None and _pallas_segscan_enabled():
-        # ONE VMEM-resident pass for the whole in-block ladder (the XLA
-        # form materializes each of the 9 steps in HBM; PERF.md §5) —
-        # bit-identical lane-for-lane to ladder()
-        from .pallas_segscan import block_segscan
-        vv, ff = block_segscan(vb, fb, kind=kind)
-    else:
-        vv, ff = ladder(vb, fb, BS)        # intra-block inclusive scan
+    vv, ff = ladder(vb, fb, BS)            # intra-block inclusive scan
     sv = vv[:, :, -1]                      # (k,nb) block summaries
     sf = ff[:, -1]                         # (nb,)
     pv, _ = ladder(sv, sf, nb)             # inter-block inclusive scan

@@ -11,10 +11,24 @@ Both must be bit-identical to the explicit-budget calls they replace, and
 the tier CONDITIONS must match the host policy in bench.py exactly (a tier
 is chosen iff its budgets cover the live counts).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifi_fusion_tpu.config import small_test_config
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """XLA:CPU AOT deserialization of this module's largest program (the
+    composed replay+outer tier switch) segfaulted twice at _cache_read
+    (2026-08-19, jax 0.9/XLA CPU); compile it fresh rather than load the
+    flaky artifact.  Everything else keeps the shared cache."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 from hifi_fusion_tpu.grid import make_grid, grid_metrics, quick_counts
 from hifi_fusion_tpu.ops.extract import extract, to_host
 from hifi_fusion_tpu.ops.integrate import integrate_frame
