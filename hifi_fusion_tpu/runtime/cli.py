@@ -155,6 +155,13 @@ class _ControlHandler(socketserver.StreamRequestHandler):
     Verbs: {"cmd": "start"|"stop"|"reset"|"process"|"metrics"|"shutdown"}
     Frames: {"cmd": "frame", "n": N, "pose": [...16 floats...]} followed by
     N*16 bytes of interleaved x,y,z,rgb float32 records.
+
+    Sensor-native depth wire (4 B/px on the socket — the production live
+    format, ops/integrate._unpack_inputs):
+      {"cmd": "rays", "n": N}  + 12*N bytes of (3,N) f32 scaled pinhole
+        rays (once per connection camera; utils/synthetic.camera_rays);
+      {"cmd": "depth_frame", "n": N, "pose": [...]} + 4*N bytes:
+        N little-endian u16 z-depth values then N u16 rgb565 values.
     """
 
     def handle(self):
@@ -197,6 +204,28 @@ class _ControlHandler(socketserver.StreamRequestHandler):
                     fields=[PointField("x", 0), PointField("y", 4),
                             PointField("z", 8), PointField("rgb", 12)])
                 accepted = sess.push_frame(frame, pose)
+                self._reply({"ok": True, "accepted": accepted})
+            elif cmd == "rays":
+                n = int(msg["n"])
+                blob = self._read_exact(n * 12)
+                if blob is None:
+                    return
+                self._rays = np.frombuffer(blob, "<f4").reshape(3, n).copy()
+                self._reply({"ok": True})
+            elif cmd == "depth_frame":
+                n = int(msg["n"])
+                pose = np.asarray(msg["pose"], np.float64).reshape(4, 4)
+                blob = self._read_exact(n * 4)
+                if blob is None:
+                    return
+                if getattr(self, "_rays", None) is None:
+                    self._reply({"ok": False,
+                                 "error": "send rays before depth_frame"})
+                    continue
+                dq = np.frombuffer(blob, "<u2", count=n)
+                r565 = np.frombuffer(blob, "<u2", count=n, offset=2 * n)
+                accepted = sess.push_depth_frame(dq, r565, pose,
+                                                 rays=self._rays)
                 self._reply({"ok": True, "accepted": accepted})
             elif cmd == "shutdown":
                 self._reply({"ok": True})

@@ -117,24 +117,30 @@ class FusionSession:
         # largest K <= max_batch_frames that DIVIDES refine_every, so a
         # batch can never span a refine mark — batched and single-stepped
         # sessions integrate and refine at identical frame numbers and
-        # produce identical grids (models/pipeline.refine_due).  The
-        # worker batches opportunistically: when the queue holds >= K
-        # aligned same-kind frames it dispatches one K-batch, else it
-        # single-steps — a live 30 Hz source self-regulates (when compute
-        # lags arrival the queue deepens until batches form).
+        # produce identical grids (models/pipeline.refine_due).
+        #
+        # Batching is a REPLAY-mode feature, keyed on ``batch_fill_wait >
+        # 0`` (cli fuse / bench.py set it; see below): a replay producer
+        # outruns the device, so the queue holds full batches.  A live
+        # session (serve / push_frame at sensor rate) single-steps — its
+        # programs are warmed, its latency deterministic, and a surprise
+        # first-compile of the batched program mid-stream (minutes on the
+        # TPU service) can never stall a capture.
         kb = max(int(config.max_batch_frames), 1)
         e = config.refine_every
         if e > 0:
             while e % kb:
                 kb -= 1
         if not hasattr(self.pipeline, "step_batch_depth"):
-            kb = 1                  # sharded pipeline: per-frame routing
+            kb = 1                  # model family without a batched step
+        if not batch_fill_wait > 0:
+            kb = 1
         self._kb = kb
         # Replay-style sessions (a producer that can outrun the device, e.g.
-        # cli fuse / bench.py) may let the worker wait this long for a full
+        # cli fuse / bench.py) let the worker wait this long for a full
         # K-batch instead of single-stepping a half-filled queue — a
         # latency-for-throughput knob.  Live sources keep 0.0: a frame is
-        # never delayed.
+        # never delayed and batching stays off.
         self._batch_fill_wait = float(batch_fill_wait)
         self.timers = StageTimers()
         self._frames_in = 0

@@ -67,14 +67,17 @@ def test_batched_session_matches_single(tmp_path):
 def test_batch_never_spans_refine_mark():
     # kb = largest divisor of refine_every <= max_batch_frames
     cfg = dataclasses.replace(CFG, refine_every=12, max_batch_frames=8)
-    with FusionSession(cfg, output_dir=".") as s:
+    with FusionSession(cfg, output_dir=".", batch_fill_wait=1.0) as s:
         assert s._kb == 6
     cfg = dataclasses.replace(CFG, refine_every=8, max_batch_frames=8)
-    with FusionSession(cfg, output_dir=".") as s:
+    with FusionSession(cfg, output_dir=".", batch_fill_wait=1.0) as s:
         assert s._kb == 8
     cfg = dataclasses.replace(CFG, refine_every=0, max_batch_frames=8)
-    with FusionSession(cfg, output_dir=".") as s:
+    with FusionSession(cfg, output_dir=".", batch_fill_wait=1.0) as s:
         assert s._kb == 8
+    # live sessions (no fill wait) single-step — batching is replay-only
+    with FusionSession(cfg, output_dir=".") as s:
+        assert s._kb == 1
 
 
 def test_refine_due_partition_invariant():

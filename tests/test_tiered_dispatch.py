@@ -11,6 +11,8 @@ Both must be bit-identical to the explicit-budget calls they replace, and
 the tier CONDITIONS must match the host policy in bench.py exactly (a tier
 is chosen iff its budgets cover the live counts).
 """
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,10 +150,38 @@ def test_replay_tiers_bit_identical():
     _assert_state_equal(_fuse(), tiered)
 
 
-def test_replay_tiers_compose_with_outer_tiers():
+def _compose_check():
     combined = _fuse(refine_kw=dict(tiers=(TINY, STEADY),
                                     replay_tiers=(64, 1024)),
                      integrate_kw=dict(dep_width_tiers=(2,)))
     qc = quick_counts(combined, CFG)
     assert all(v == 0 for k, v in qc.items() if k.startswith("overflow")), qc
     _assert_state_equal(_fuse(), combined)
+
+
+def test_replay_tiers_compose_with_outer_tiers():
+    """Run the composition check in a FRESH interpreter: XLA:CPU segfaulted
+    three times (2026-08-19) compiling this program — the largest switch
+    composition in the suite — inside a long-lived pytest process, while
+    the identical check passes every time in a fresh process.  Subprocess
+    isolation keeps the suite green AND keeps the coverage."""
+    import os
+    import subprocess
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))),
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--compose"],
+                       capture_output=True, text=True, timeout=900,
+                       env=env)
+    assert r.returncode == 0, f"compose check failed:\n{r.stdout}\n{r.stderr}"
+
+
+if __name__ == "__main__":
+    if "--compose" in sys.argv:
+        # the container's sitecustomize pins the TPU platform; re-pin CPU
+        # before the first jax op initializes a backend
+        jax.config.update("jax_platforms", "cpu")
+        _compose_check()
+        print("compose check ok")
