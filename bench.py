@@ -78,18 +78,24 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # mostly normal-found), where escalating all the way to the full
 # worst-case budgets costs 2-4 s/pass (trace, PERF.md §5).  Tier tuples
 # are (cand_lanes, buf_lanes, replay_runs, replay_lanes).
+TINY_BUDGETS = (1 << 13, 1 << 16, 1 << 15, 1 << 17)
 STEADY_BUDGETS = (1 << 15, 1 << 19, 1 << 17, 1 << 19)
 MID_BUDGETS = (1 << 17, 1 << 21, 1 << 19, 1 << 22)
-REFINE_TIERS = (STEADY_BUDGETS, MID_BUDGETS)
+# TINY covers late-sweep cadences once the orbit revisits known surface
+# (few new cells between refine marks -> candidate/buffer counts collapse);
+# the switch falls through TINY -> STEADY -> MID -> full config budgets.
+REFINE_TIERS = (TINY_BUDGETS, STEADY_BUDGETS, MID_BUDGETS)
 # Inner replay-expansion tiers (ops/refine.py ``replay_tiers``): the
 # replay block additionally lax.switches on the LIVE replayed-point total
 # t_rep (known only mid-pass), so a steady pass whose replay is near-empty
 # runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.
 REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21)
 # Emission bound for the capped extract: the bench sweep peaks ~262k
-# voxels; 2^19 leaves 2x margin while keeping the full-array host fetch
-# (to_host) at ~36 MB (~1.8 s through the d->h tunnel).
-EXTRACT_CAP = 1 << 19
+# voxels (deterministic: seed-0 sweep); 3*2^17 = 393,216 leaves 1.5x
+# margin and sizes the export host fetch at ~23.6 MB (EXPORT_FIELDS x
+# 4 B x cap; ~1.1 s through the ~22 MB/s d->h tunnel).  On truncation
+# extract_host falls back to the uncapped variant — slower, never wrong.
+EXTRACT_CAP = int(os.environ.get("BENCH_EXTRACT_CAP", 3 << 17))
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
 # ~= 33 ms on the 37 MB/s axon tunnel, the 30 Hz sensor cadence), "q16" =

@@ -205,15 +205,18 @@ class FusionPipeline:
 
     # -- host-facing interface shared with the sharded adapter
     #    (runtime/session.py drives either through these) ---------------
-    def extract_host(self, grid: GridState) -> dict:
+    def extract_host(self, grid: GridState, fields=None) -> dict:
+        """``fields``: fetch only that subset of the result (the session's
+        export passes ops/extract.EXPORT_FIELDS — the d->h tunnel charges
+        per byte); None fetches every field."""
         from ..ops.extract import to_host
         cap = self.config.extract_cap
         if cap:
             try:
-                return to_host(self.extract(grid, cap=cap))
+                return to_host(self.extract(grid, cap=cap), fields=fields)
             except RuntimeError:   # n_valid > cap: pay the full-width
                 pass               # extract rather than truncate
-        return to_host(self.extract(grid, cap=0))
+        return to_host(self.extract(grid, cap=0), fields=fields)
 
     def grid_metrics(self, grid: GridState) -> dict:
         from ..grid import grid_metrics

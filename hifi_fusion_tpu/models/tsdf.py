@@ -273,12 +273,14 @@ class TsdfPipeline:
         return extract_tsdf(grid, config=self.config)
 
     # -- host-facing interface shared with FusionPipeline ----------------
-    def extract_host(self, grid) -> dict:
+    def extract_host(self, grid, fields=None) -> dict:
         """TSDF surface -> the export dict the session's process() writes.
         Field mapping for the shared PCD/CSV writers: ``count`` = integer
         TSDF weight (samples fused), ``mean_dist`` = signed distance of
         the cell center to the implicit surface (the TSDF value), ``sd`` /
-        ``sd_dist`` = 0 (TSDF accumulates first moments only)."""
+        ``sd_dist`` = 0 (TSDF accumulates first moments only).
+        ``fields`` is accepted for interface parity and ignored — the
+        TSDF result has 8 lanes total; subsetting saves nothing."""
         import numpy as np
         h = tsdf_to_host(self.extract(grid))
         n = h["cell"].shape[0]

@@ -133,7 +133,14 @@ extract = partial(jax.jit, static_argnames=("config", "cap"))(
 _PLANAR_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 
-def to_host(result: ExtractResult) -> dict:
+# the fields process()'s PCD + metadata-CSV export (and every download*
+# variant) actually reads — 15 of the 17 result lanes; skipping cell +
+# n_pts cuts the device->host fetch by ~12% (runtime/session.py)
+EXPORT_FIELDS = ("centroid", "normal", "sd", "mean_dist", "sd_dist",
+                 "count", "rgb")
+
+
+def to_host(result: ExtractResult, fields=None) -> dict:
     """Device ExtractResult -> host dict of trimmed NumPy arrays (row-major
     (n,3) vectors for I/O and analysis).
 
@@ -143,7 +150,11 @@ def to_host(result: ExtractResult) -> dict:
     wildly variable cost (13 s to minutes) — dead-lane transfer bytes are
     cheaper than compile roulette.  Size the transfer with
     ``config.extract_cap`` instead: the fetch is cap * 68 B (~36 MB at
-    cap 2^19, ~1.8 s through the ~20 MB/s d->h tunnel)."""
+    cap 2^19, ~1.8 s through the ~20 MB/s d->h tunnel).
+
+    ``fields``: fetch only this subset of result fields (the d->h tunnel
+    charges per byte — ``EXPORT_FIELDS`` is what ``process()`` needs);
+    None fetches everything."""
     import numpy as np
     n = int(result.n_valid)
     if n > result.cell.shape[0]:
@@ -151,7 +162,7 @@ def to_host(result: ExtractResult) -> dict:
             f"extract cap too small: {n} voxels emitted, cap "
             f"{result.cell.shape[0]} — re-extract with a larger cap")
     out = {}
-    for f in ExtractResult._fields:
+    for f in (fields if fields is not None else ExtractResult._fields):
         if f == "n_valid":
             continue
         a = np.asarray(getattr(result, f))

@@ -604,30 +604,31 @@ class ShardedExtract:
     def n_valid(self):
         return jnp.sum(self.result.n_valid)
 
-    def to_host(self) -> dict:
+    def to_host(self, fields=None) -> dict:
         """Concatenate per-shard core emissions (already globally sorted:
         ids are x-major and slabs ascend in x), mapping shard-LOCAL cell
-        ids to GLOBAL int64 ids via each shard's x offset."""
+        ids to GLOBAL int64 ids via each shard's x offset.  ``fields``
+        restricts the fetch to a subset (ops/extract.to_host)."""
         r = self.result
         n_per = np.asarray(r.n_valid)
         _, dy, dz = self.config.dims
         yz = np.int64(dy) * np.int64(dz)
-        parts = {k: [] for k in ("cell", "centroid", "normal", "sd",
-                                 "mean_dist", "sd_dist", "count", "rgb",
-                                 "n_pts")}
+        planar = ("centroid", "normal", "sd", "rgb")
+        keys = tuple(fields) if fields is not None else (
+            "cell", "centroid", "normal", "sd", "mean_dist", "sd_dist",
+            "count", "rgb", "n_pts")
+        parts = {k: [] for k in keys}
         for s in range(self.n_shards):
             sl = slice(s * self.capacity, s * self.capacity + int(n_per[s]))
-            local = np.asarray(r.cell[sl]).astype(np.int64)
-            off_x = np.int64(s * self.slab_w - self.halo)
-            parts["cell"].append((local // yz + off_x) * yz + local % yz)
-            parts["centroid"].append(np.asarray(r.centroid[:, sl]).T)
-            parts["normal"].append(np.asarray(r.normal[:, sl]).T)
-            parts["sd"].append(np.asarray(r.sd[:, sl]).T)
-            parts["mean_dist"].append(np.asarray(r.mean_dist[sl]))
-            parts["sd_dist"].append(np.asarray(r.sd_dist[sl]))
-            parts["count"].append(np.asarray(r.count[sl]))
-            parts["rgb"].append(np.asarray(r.rgb[:, sl]).T)
-            parts["n_pts"].append(np.asarray(r.n_pts[sl]))
+            for k in keys:
+                if k == "cell":
+                    local = np.asarray(r.cell[sl]).astype(np.int64)
+                    off_x = np.int64(s * self.slab_w - self.halo)
+                    parts[k].append((local // yz + off_x) * yz + local % yz)
+                elif k in planar:
+                    parts[k].append(np.asarray(getattr(r, k)[:, sl]).T)
+                else:
+                    parts[k].append(np.asarray(getattr(r, k)[sl]))
         return {k: np.concatenate(v) for k, v in parts.items()}
 
 
@@ -682,8 +683,8 @@ class ShardedPipeline:
     def run_sweep(self, grid, pts, rgb, mask, poses) -> GridState:
         return self.sf.run_sweep(grid, pts, rgb, mask, poses)
 
-    def extract_host(self, grid) -> dict:
-        return self.sf.extract(grid).to_host()
+    def extract_host(self, grid, fields=None) -> dict:
+        return self.sf.extract(grid).to_host(fields=fields)
 
     def grid_metrics(self, grid) -> dict:
         return self.sf.metrics(grid)

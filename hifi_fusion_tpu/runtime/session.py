@@ -220,7 +220,12 @@ class FusionSession:
                         # buffers
                         self._grid = grid
                 with self.timers.stage("process_extract"):
-                    host = self.pipeline.extract_host(grid)
+                    # fetch only the lanes the export writes (15 of 17):
+                    # the d->h tunnel charges ~50 ms/MB, so cell + n_pts
+                    # stay on device (ops/extract.EXPORT_FIELDS)
+                    from ..ops.extract import EXPORT_FIELDS
+                    host = self.pipeline.extract_host(
+                        grid, fields=EXPORT_FIELDS)
                 with self.timers.stage("process_export"):
                     if cloud_path.endswith(".ply"):
                         from ..io import ply
