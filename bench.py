@@ -78,12 +78,14 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # mostly normal-found), where escalating all the way to the full
 # worst-case budgets costs 2-4 s/pass (trace, PERF.md §5).  Tier tuples
 # are (cand_lanes, buf_lanes, replay_runs, replay_lanes).
-TINY_BUDGETS = (1 << 13, 1 << 16, 1 << 15, 1 << 17)
+TINY_BUDGETS = (1 << 14, 1 << 17, 1 << 17, 1 << 17)
 STEADY_BUDGETS = (1 << 15, 1 << 19, 1 << 17, 1 << 19)
 MID_BUDGETS = (1 << 17, 1 << 21, 1 << 19, 1 << 22)
-# TINY covers late-sweep cadences once the orbit revisits known surface
-# (few new cells between refine marks -> candidate/buffer counts collapse);
-# the switch falls through TINY -> STEADY -> MID -> full config budgets.
+# TINY covers steady cadences once the sweep mostly revisits known surface:
+# measured live counts on the bench sweep (TPU probe, 2026-08-19) are
+# n_cand 8.8-16.7k and buf_count 77-89k from the second refine on, so
+# (cand 2^14, buf/replay 2^17) fits every pass after f=16; the switch
+# falls through TINY -> STEADY -> MID -> full config budgets.
 REFINE_TIERS = (TINY_BUDGETS, STEADY_BUDGETS, MID_BUDGETS)
 # Inner replay-expansion tiers (ops/refine.py ``replay_tiers``): the
 # replay block additionally lax.switches on the LIVE replayed-point total

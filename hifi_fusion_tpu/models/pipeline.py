@@ -209,14 +209,21 @@ class FusionPipeline:
         """``fields``: fetch only that subset of the result (the session's
         export passes ops/extract.EXPORT_FIELDS — the d->h tunnel charges
         per byte); None fetches every field."""
+        return self.extract_fetcher(grid)(fields)
+
+    def extract_fetcher(self, grid: GridState):
+        """One device extraction, incremental host fetches: returns
+        ``fetch(fields) -> dict`` over a single ExtractResult, so the
+        session can pull the CSV lanes first and format them on a thread
+        while the PCD lanes are still crossing the d->h tunnel
+        (runtime/session.process — the tunnel is CPU-idle time)."""
         from ..ops.extract import to_host
         cap = self.config.extract_cap
-        if cap:
-            try:
-                return to_host(self.extract(grid, cap=cap), fields=fields)
-            except RuntimeError:   # n_valid > cap: pay the full-width
-                pass               # extract rather than truncate
-        return to_host(self.extract(grid, cap=0), fields=fields)
+        result = self.extract(grid, cap=cap or None)
+        if cap and int(result.n_valid) > cap:
+            # pay the full-width extract rather than truncate
+            result = self.extract(grid, cap=0)
+        return partial(to_host, result)
 
     def grid_metrics(self, grid: GridState) -> dict:
         from ..grid import grid_metrics

@@ -296,6 +296,15 @@ class TsdfPipeline:
             "n_pts": np.round(h["weight"]).astype(np.int32),
         }
 
+    def extract_fetcher(self, grid):
+        """Interface parity with FusionPipeline.extract_fetcher: the TSDF
+        result is small — one fetch, subsequent calls subset the dict."""
+        h = self.extract_host(grid)
+
+        def fetch(fields=None):
+            return h if fields is None else {k: h[k] for k in fields}
+        return fetch
+
     def grid_metrics(self, grid) -> dict:
         import numpy as np
         C = self.config.base.capacity

@@ -686,6 +686,12 @@ class ShardedPipeline:
     def extract_host(self, grid, fields=None) -> dict:
         return self.sf.extract(grid).to_host(fields=fields)
 
+    def extract_fetcher(self, grid):
+        """One mesh extraction, incremental host fetches (see
+        FusionPipeline.extract_fetcher)."""
+        result = self.sf.extract(grid)
+        return lambda fields=None: result.to_host(fields=fields)
+
     def grid_metrics(self, grid) -> dict:
         return self.sf.metrics(grid)
 

@@ -219,31 +219,51 @@ class FusionSession:
                         # so a failure below cannot leave it on deleted
                         # buffers
                         self._grid = grid
+                # Export overlap: fetch only the lanes the export writes
+                # (15 of 17 — cell + n_pts stay on device), CSV lanes
+                # FIRST, and format the metadata CSV on a thread while the
+                # PCD lanes are still crossing the d->h tunnel — the fetch
+                # is tunnel-bound CPU-idle time (~40 ms/MB) and the CSV
+                # snprintf pass is the most expensive host format
+                # (~0.5 s at 262k rows), so the two hide each other.
+                from ..io import pcd as _pcd
                 with self.timers.stage("process_extract"):
-                    # fetch only the lanes the export writes (15 of 17):
-                    # the d->h tunnel charges ~50 ms/MB, so cell + n_pts
-                    # stay on device (ops/extract.EXPORT_FIELDS)
-                    from ..ops.extract import EXPORT_FIELDS
-                    host = self.pipeline.extract_host(
-                        grid, fields=EXPORT_FIELDS)
+                    fetch = self.pipeline.extract_fetcher(grid)
+                    csv_host = fetch(("sd", "mean_dist", "sd_dist",
+                                      "count"))
+                csv_err = []
+
+                def _write_csv():
+                    try:
+                        _pcd.write_metadata_csv(
+                            meta_path, csv_host["sd"],
+                            csv_host["mean_dist"], csv_host["sd_dist"],
+                            csv_host["count"])
+                    except Exception as e:      # re-raised after join
+                        csv_err.append(e)
+
+                csv_thread = threading.Thread(target=_write_csv,
+                                              name="csv-export")
+                csv_thread.start()
+                with self.timers.stage("process_extract"):
+                    host = fetch(("centroid", "normal", "rgb"))
+                host["count"] = csv_host["count"]   # variants filter on it
                 with self.timers.stage("process_export"):
+                    n = int(host["centroid"].shape[0])
                     if cloud_path.endswith(".ply"):
                         from ..io import ply
                         ply.write_ply(cloud_path, host["centroid"],
                                       host["rgb"], host["normal"],
                                       ascii_mode=ascii_mode)
-                        from ..io import pcd as _pcd
-                        _pcd.write_metadata_csv(meta_path, host["sd"],
-                                                host["mean_dist"],
-                                                host["sd_dist"],
-                                                host["count"])
-                        n = int(host["centroid"].shape[0])
                     else:
-                        n = downloads.download_data(host, cloud_path,
-                                                    meta_path,
-                                                    ascii_mode=ascii_mode)
+                        _pcd.write_pcd_xyzrgbnormal(
+                            cloud_path, host["centroid"], host["rgb"],
+                            host["normal"], ascii_mode=ascii_mode)
                     variant_paths = self._write_variants(
                         host, cloud_path, variants, ascii_mode)
+                    csv_thread.join()
+                    if csv_err:
+                        raise csv_err[0]
                 with self.timers.stage("process_metrics"):
                     metrics = self.pipeline.grid_metrics(grid)
                 # snapshot-and-destroy, but leak-free by construction
