@@ -90,14 +90,18 @@ REFINE_TIERS = (TINY_BUDGETS, STEADY_BUDGETS, MID_BUDGETS)
 # Inner replay-expansion tiers (ops/refine.py ``replay_tiers``): the
 # replay block additionally lax.switches on the LIVE replayed-point total
 # t_rep (known only mid-pass), so a steady pass whose replay is near-empty
-# runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.
-REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21)
-# Emission bound for the capped extract: the bench sweep peaks ~262k
-# voxels (deterministic: seed-0 sweep); 3*2^17 = 393,216 leaves 1.5x
-# margin and sizes the export host fetch at ~23.6 MB (EXPORT_FIELDS x
-# 4 B x cap; ~1.1 s through the ~22 MB/s d->h tunnel).  On truncation
-# extract_host falls back to the uncapped variant — slower, never wrong.
-EXTRACT_CAP = int(os.environ.get("BENCH_EXTRACT_CAP", 3 << 17))
+# runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.  The
+# 2^22 tier covers the FIRST refine (t_rep = 8 frames x 307k pts = 2.46M
+# buffered points, all replayed at once) at half the full 2^23 budget's
+# gather/fill machinery (~240 ms once per sweep, TPU probe 2026-08-19).
+REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21, 1 << 22)
+# Emission bound for the capped extract: the bench sweep peaks at
+# 262,375 voxels (deterministic: seed-0 sweep); 4.5*2^16 = 294,912
+# leaves 12% margin and sizes the export host fetch at ~13 MB (11
+# export lanes x 4 B x cap; ~0.6 s through the ~22 MB/s d->h tunnel).
+# On truncation extract_host falls back to the uncapped variant —
+# slower, never wrong.
+EXTRACT_CAP = int(os.environ.get("BENCH_EXTRACT_CAP", 9 << 15))
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
 # ~= 33 ms on the 37 MB/s axon tunnel, the 30 Hz sensor cadence), "q16" =

@@ -27,7 +27,12 @@ _PCD_NORMAL = ("normal_x", "normal_y", "normal_z")
 
 
 def _pack_rgb_float(rgb: np.ndarray) -> np.ndarray:
-    """(N,3) float 0-255 -> PCL packed-float rgb column."""
+    """(N,3) float 0-255 -> PCL packed-float rgb column.  A 1-D integer
+    ``rgb`` is accepted as ALREADY-packed 0x00RRGGBB words (the device
+    export lane, ops/extract.ExtractResult.rgb_packed — same clip ->
+    truncate -> shift recipe, so the file bytes are identical)."""
+    if rgb.ndim == 1:
+        return np.ascontiguousarray(rgb, np.uint32).view(np.float32)
     r = np.clip(rgb[:, 0], 0, 255).astype(np.uint32)
     g = np.clip(rgb[:, 1], 0, 255).astype(np.uint32)
     b = np.clip(rgb[:, 2], 0, 255).astype(np.uint32)

@@ -207,8 +207,8 @@ class FusionPipeline:
     #    (runtime/session.py drives either through these) ---------------
     def extract_host(self, grid: GridState, fields=None) -> dict:
         """``fields``: fetch only that subset of the result (the session's
-        export passes ops/extract.EXPORT_FIELDS — the d->h tunnel charges
-        per byte); None fetches every field."""
+        export passes ops/extract.CSV/PCD_EXPORT_FIELDS — the d->h tunnel
+        charges per byte); None fetches every field."""
         return self.extract_fetcher(grid)(fields)
 
     def extract_fetcher(self, grid: GridState):

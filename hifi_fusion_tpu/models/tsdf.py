@@ -282,6 +282,7 @@ class TsdfPipeline:
         ``fields`` is accepted for interface parity and ignored — the
         TSDF result has 8 lanes total; subsetting saves nothing."""
         import numpy as np
+        from ..io.pcd import _pack_rgb_float
         h = tsdf_to_host(self.extract(grid))
         n = h["cell"].shape[0]
         return {
@@ -294,6 +295,9 @@ class TsdfPipeline:
             "sd": np.zeros((n, 3), np.float32),
             "sd_dist": np.zeros((n,), np.float32),
             "n_pts": np.round(h["weight"]).astype(np.int32),
+            # export-wire parity with ops/extract.ExtractResult
+            "var_t": np.zeros((n,), np.float32),
+            "rgb_packed": _pack_rgb_float(h["rgb"]).view(np.uint32),
         }
 
     def extract_fetcher(self, grid):

@@ -48,6 +48,13 @@ class ExtractResult(NamedTuple):
     count: jax.Array      # (C,)  i32 points inside the 1mm cylinder
     rgb: jax.Array        # (3,C) f32 mean color of points in the voxel
     n_pts: jax.Array      # (C,)  i32 raw points that landed in the voxel
+    # Export-wire duplicates (runtime/session.process): the d->h tunnel
+    # charges ~45 ms/MB, so the session fetches ONE scalar variance lane
+    # (sd = normal_i^2 * var_t, reconstructed bit-identically on host —
+    # two f32 multiplies in the same order) and ONE packed-u32 rgb lane
+    # (exactly io/pcd's clip->truncate->pack) instead of 3+3 f32 lanes.
+    var_t: jax.Array      # (C,)  f32 variance of the scalar projection t
+    rgb_packed: jax.Array  # (C,) u32 0x00RRGGBB (PCL packed color)
 
 
 def extract_impl(grid: GridState, *, config: FusionConfig,
@@ -111,6 +118,8 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
     npts = grid.n_pts[order]
     npts_f = jnp.maximum(npts, 1.0)
     rgb = rgbs / npts_f[None, :]
+    rgb_u = jnp.clip(rgb, 0.0, 255.0).astype(jnp.uint32)   # truncate = host
+    rgb_packed = (rgb_u[0] << 16) | (rgb_u[1] << 8) | rgb_u[2]
 
     return ExtractResult(
         n_valid=n_valid,
@@ -123,6 +132,8 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
         count=cnt,
         rgb=rgb,
         n_pts=npts.astype(jnp.int32),
+        var_t=jnp.where(has, var_t, 0.0),
+        rgb_packed=rgb_packed,
     )
 
 
@@ -133,9 +144,14 @@ extract = partial(jax.jit, static_argnames=("config", "cap"))(
 _PLANAR_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 
-# the fields process()'s PCD + metadata-CSV export (and every download*
-# variant) actually reads — 15 of the 17 result lanes; skipping cell +
-# n_pts cuts the device->host fetch by ~12% (runtime/session.py)
+# What process()'s PCD + metadata-CSV export fetches (runtime/session.py):
+# 11 of the 19 result lanes, in two waves so the CSV formats on a thread
+# while the PCD lanes are still crossing the d->h tunnel.  ``sd`` is
+# reconstructed on host from normal + var_t (bit-identical, see
+# ExtractResult), ``rgb`` travels as the packed u32 the PCD stores anyway.
+CSV_EXPORT_FIELDS = ("normal", "var_t", "mean_dist", "sd_dist", "count")
+PCD_EXPORT_FIELDS = ("centroid", "rgb_packed")
+# legacy single-wave set (full-precision rgb + per-axis sd)
 EXPORT_FIELDS = ("centroid", "normal", "sd", "mean_dist", "sd_dist",
                  "count", "rgb")
 

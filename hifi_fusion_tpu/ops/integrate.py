@@ -517,14 +517,21 @@ def integrate_frame_impl(grid: GridState,
                            _at_starts(so_center[2]),
                            _at_starts(so_nrows[:, 0]),
                            _at_starts(so_nrows[:, 1]),
-                           _at_starts(so_nrows[:, 2]),
-                           _at_starts(so_owner.astype(f32))], axis=0)  # (7,P)
+                           _at_starts(so_nrows[:, 2])], axis=0)  # (6,P)
         ofill = segment_fill(ofill, pstarts)
         o_center = ofill[0:3]
         o_normal = ofill[3:6]
         # a run whose start overflowed UH carries a stale fill — gate it
-        # out (counted in overflow_hits above)
-        fill_ok = ofill[6] == powner.astype(f32)
+        # out (counted in overflow_hits above).  sorder holds the UH
+        # lowest-owner runs (starts ascend in the owner-sorted lane
+        # order), so stale-filled lanes are exactly those at or above the
+        # first DROPPED run's owner (so_owner[uh_lim], matching the e_ok
+        # run-end gate below) — two scalars instead of the former
+        # owner-echo fill channel (a 7th P-lane scan, ~11 ms/batch).
+        thresh = jnp.where(n_pstarts > UH, so_owner[jnp.minimum(uh_lim,
+                                                                UH - 1)],
+                           _BIG)
+        fill_ok = powner < thresh
 
         hq = jnp.stack([px_, py_, pz_], axis=0) - o_center
         ht = jnp.sum(hq * o_normal, axis=0)                # scalar proj t

@@ -219,24 +219,29 @@ class FusionSession:
                         # so a failure below cannot leave it on deleted
                         # buffers
                         self._grid = grid
-                # Export overlap: fetch only the lanes the export writes
-                # (15 of 17 — cell + n_pts stay on device), CSV lanes
-                # FIRST, and format the metadata CSV on a thread while the
-                # PCD lanes are still crossing the d->h tunnel — the fetch
-                # is tunnel-bound CPU-idle time (~40 ms/MB) and the CSV
-                # snprintf pass is the most expensive host format
+                # Export overlap: fetch only the 11 lanes the export
+                # writes (of 19 — sd travels as ONE var_t lane and is
+                # reconstructed as normal_i^2 * var_t, bit-identical; rgb
+                # travels as the packed u32 the PCD stores anyway), CSV
+                # lanes FIRST, and format the metadata CSV on a thread
+                # while the PCD lanes are still crossing the d->h tunnel —
+                # the fetch is tunnel-bound CPU-idle time (~45 ms/MB) and
+                # the CSV snprintf pass is the most expensive host format
                 # (~0.5 s at 262k rows), so the two hide each other.
                 from ..io import pcd as _pcd
+                want_rgb3 = bool(variants) or cloud_path.endswith(".ply")
                 with self.timers.stage("process_extract"):
                     fetch = self.pipeline.extract_fetcher(grid)
-                    csv_host = fetch(("sd", "mean_dist", "sd_dist",
-                                      "count"))
+                    csv_host = fetch(("normal", "var_t", "mean_dist",
+                                      "sd_dist", "count"))
                 csv_err = []
 
                 def _write_csv():
                     try:
+                        nrm = csv_host["normal"]
+                        sd = (nrm * nrm) * csv_host["var_t"][:, None]
                         _pcd.write_metadata_csv(
-                            meta_path, csv_host["sd"],
+                            meta_path, sd,
                             csv_host["mean_dist"], csv_host["sd_dist"],
                             csv_host["count"])
                     except Exception as e:      # re-raised after join
@@ -246,7 +251,9 @@ class FusionSession:
                                               name="csv-export")
                 csv_thread.start()
                 with self.timers.stage("process_extract"):
-                    host = fetch(("centroid", "normal", "rgb"))
+                    host = fetch(("centroid", "rgb_packed")
+                                 + (("rgb",) if want_rgb3 else ()))
+                host["normal"] = csv_host["normal"]
                 host["count"] = csv_host["count"]   # variants filter on it
                 with self.timers.stage("process_export"):
                     n = int(host["centroid"].shape[0])
@@ -257,7 +264,8 @@ class FusionSession:
                                       ascii_mode=ascii_mode)
                     else:
                         _pcd.write_pcd_xyzrgbnormal(
-                            cloud_path, host["centroid"], host["rgb"],
+                            cloud_path, host["centroid"],
+                            host["rgb_packed"],
                             host["normal"], ascii_mode=ascii_mode)
                     variant_paths = self._write_variants(
                         host, cloud_path, variants, ascii_mode)

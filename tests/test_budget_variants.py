@@ -143,3 +143,42 @@ def test_dep_width_too_narrow_counts_overflow_hits():
         pytest.skip("sweep produced no multi-dependant cells")
     starved = _fuse_dw(1)
     assert int(starved.overflow_hits) > 0
+
+
+def _fuse_hl(hit_lanes):
+    grid = make_grid(CFG)
+    frames = make_sweep(CFG, 6, 2048, seed=7, surface_frac=0.6)
+    kw = {} if hit_lanes is None else dict(hit_lanes=hit_lanes)
+    for i, fr in enumerate(frames):
+        pf = pad_frame(fr, CFG.max_points)
+        grid = integrate_frame(grid, jnp.asarray(pf.points_cam),
+                               jnp.asarray(pf.rgb), jnp.asarray(pf.mask),
+                               jnp.asarray(pf.pose), config=CFG, **kw)
+        if (i + 1) % 2 == 0:
+            grid = refine_pass(grid, config=CFG)
+    return refine_pass(grid, config=CFG)
+
+
+def test_hit_lane_starvation_counts_and_degrades_prefix_exactly():
+    """Starving the pair-block's owner budget (UH < live hit owners) must
+    (a) count overflow_hits, never silently drop, and (b) leave every
+    SURVIVING owner's cylinder stats bit-identical to the full run — the
+    stale-fill gate keeps dropped runs out of the scatter (the owner
+    threshold form of ``fill_ok``, ops/integrate.py pair block)."""
+    full = _fuse_hl(None)
+    assert int(full.overflow_hits) == 0
+    starved = _fuse_hl(64)     # << live hit owners on this sweep
+    assert int(starved.overflow_hits) > 0
+    # surviving voxels: counts either equal the full run's (owner kept on
+    # every integrate) or are strictly smaller (run dropped in some pass)
+    # — never larger, never NaN/garbage from a stale fill
+    C = CFG.capacity
+    f_cnt = np.round(np.asarray(full.cyl_stats[4::5][:C]))
+    s_cnt = np.round(np.asarray(starved.cyl_stats[4::5][:C]))
+    assert np.all(s_cnt <= f_cnt + 1e-6)
+    s_stats = np.asarray(starved.cyl_stats).reshape(-1, 5)[:C]
+    assert np.all(np.isfinite(s_stats))
+    # where counts match, the whole 5-channel stat row matches bit-exactly
+    same = s_cnt == f_cnt
+    f_stats = np.asarray(full.cyl_stats).reshape(-1, 5)[:C]
+    np.testing.assert_array_equal(s_stats[same], f_stats[same])
