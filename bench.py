@@ -119,10 +119,6 @@ if BATCH > 1 and WIRE == "q16":
 # single-frame width.  Overflow counters guard the bound as always.
 BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 1 << 18))
 BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 1 << 18))
-# Pair budget at K=8: live pairs on the bench sweep peak ~9.3M (avg
-# dep fan-in is ~5, not the max 7) — 10M covers with margin and the
-# zero-overflow assert guards the bound.
-BATCH_PAIRS = int(os.environ.get("BENCH_BATCH_PAIRS", 10 * (1 << 20)))
 # Camera focal length for the depth wire (pixels).  Chosen so the sweep's
 # DENSITY matches the q16/f32 sweeps and the round-1 baseline workload:
 # ~95-105k distinct 1 mm cells per 640x480 frame, i.e. ~2 pixels per
@@ -271,7 +267,6 @@ def bench_config(frames=None):
         z_clip=(0.28, 0.6),
         # ~90-100k distinct 1mm cells per 640x480 frame
         max_unique_per_frame=1 << 17,
-        max_stream_pairs=1 << 22,    # Σ dep_cnt over points
         max_hit_voxels=1 << 18,
         max_replay_active=1 << 19,   # distinct buffered-slot runs
         max_replay_hits=1 << 23,     # first-pass replay pair-points
@@ -283,7 +278,6 @@ def bench_config(frames=None):
         extract_cap=EXTRACT_CAP,
         batch_unique_lanes=BATCH_UNIQUE,
         batch_hit_lanes=BATCH_HITS,
-        batch_pair_lanes=BATCH_PAIRS,
     ).validate()
 
 

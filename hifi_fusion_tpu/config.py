@@ -67,11 +67,14 @@ class FusionConfig:
     max_refine_candidates: int = 65536  # voxels refined per pass (U_max)
     # sort-compaction bounds (see ops/scatter.py for why these exist):
     max_unique_per_frame: int = 1 << 17  # distinct cells hit per frame
-    max_stream_pairs: int = 1 << 22      # ACTIVE (point x dependant) pair
-                                         # lanes streamed per frame (post-
-                                         # sort prefix; Σ over valid points
-                                         # of their cell's dependant count)
     max_hit_voxels: int = 1 << 17        # distinct owners hit per frame
+                                         # (the dependant stream never
+                                         # expands pair lanes physically —
+                                         # stats aggregate per (cell, dep
+                                         # lane) over the existing cell
+                                         # segments, ops/integrate.py —
+                                         # so the only pair-path budget is
+                                         # this owner-constant dedup bound)
     max_replay_active: int = 1 << 22     # distinct buffered-slot runs a
                                          # refine pass can replay (RB)
     max_replay_hits: int = 1 << 22       # replay pair-point lanes (R2):
@@ -138,7 +141,6 @@ class FusionConfig:
     # Overflow counters guard the bounds exactly as in the per-frame path.
     batch_unique_lanes: int = 0
     batch_hit_lanes: int = 0
-    batch_pair_lanes: int = 0
 
     # ------------------------------------------------------------------
     @property
@@ -238,7 +240,6 @@ def small_test_config(**overrides) -> FusionConfig:
         # generous compaction bounds: tests must never truncate, so that
         # oracle parity stays exact
         max_unique_per_frame=4096,
-        max_stream_pairs=1 << 16,
         max_hit_voxels=1 << 14,
         max_replay_active=1 << 15,     # == buffer capacity: full coverage
         max_replay_hits=1 << 17,

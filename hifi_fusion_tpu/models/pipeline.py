@@ -80,10 +80,8 @@ def batch_lane_budgets(config: FusionConfig, k: int) -> dict:
     per-frame budgets (see config.py field docs)."""
     u = config.batch_unique_lanes or k * config.max_unique_per_frame
     h = config.batch_hit_lanes or k * config.max_hit_voxels
-    p = config.batch_pair_lanes or k * config.max_stream_pairs
     return dict(unique_lanes=min(u, k * config.max_unique_per_frame),
-                hit_lanes=min(h, k * config.max_hit_voxels),
-                pair_lanes=min(p, k * config.max_stream_pairs))
+                hit_lanes=min(h, k * config.max_hit_voxels))
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))

@@ -170,7 +170,7 @@ def integrate_frame_impl(grid: GridState,
                          offset=None, pre_transformed=False,
                          extra_dropped=None, quant=None, rays=None,
                          active_lanes=None, unique_lanes=None,
-                         pair_lanes=None, hit_lanes=None,
+                         hit_lanes=None,
                          dep_width=None, dep_width_tiers=None) -> GridState:
     """Single-frame (planar (3,N)) or BATCHED ((K,3,N) + (K,4,4) poses)
     integration — batching is keyed on input rank so the single-frame HLO
@@ -188,7 +188,7 @@ def integrate_frame_impl(grid: GridState,
     integer outputs (occupancy, counts) are bit-identical, f32 sums differ
     only in addition order.
 
-    ``active_lanes / unique_lanes / pair_lanes / hit_lanes`` (static)
+    ``active_lanes / unique_lanes / hit_lanes`` (static)
     override the batch lane budgets; defaults scale the per-frame config
     budgets by K.  Overflows are counted exactly as in the per-frame path.
 
@@ -402,158 +402,169 @@ def integrate_frame_impl(grid: GridState,
 
     # ---- buffer append: one contiguous block write ----------------------
     # pack wanted lanes to the front with a payload sort (coords + slot
-    # ride along; a bool key sorts False-first, so key = NOT wanted)
+    # ride along; a bool key sorts False-first, so key = NOT wanted).
+    # The whole block (partition sort + append) sits under a lax.cond on
+    # n_want: in steady state nearly every touched cell already has its
+    # normal, so every lane is unwanted and the 5-channel NA-lane sort
+    # (~15 ms at the K=8 bench shape) is dead weight every batch.
     want_s = placed_s & ~nf0_s
     n_want = jnp.sum(want_s.astype(i32))
-    _, bwx, bwy, bwz, bwslot = jax.lax.sort(
-        (~want_s, world_s[0], world_s[1], world_s[2], slot_s),
-        num_keys=1, is_stable=True)
-    wv = jnp.stack([bwx, bwy, bwz], axis=0)
-    wslot = jnp.where(jnp.arange(NA, dtype=i32) < n_want, bwslot, -1)
     fits = grid.buf_count + NA <= B
 
     def _append(args):
         bp, bs, bc = args
+        _, bwx, bwy, bwz, bwslot = jax.lax.sort(
+            (~want_s, world_s[0], world_s[1], world_s[2], slot_s),
+            num_keys=1, is_stable=True)
+        wv = jnp.stack([bwx, bwy, bwz], axis=0)
+        wslot = jnp.where(jnp.arange(NA, dtype=i32) < n_want, bwslot, -1)
         bp = jax.lax.dynamic_update_slice(bp, wv, (0, bc))
         bs = jax.lax.dynamic_update_slice(bs, wslot, (bc,))
         return bp, bs
 
     buf_pts, buf_slot = jax.lax.cond(
-        fits, _append, lambda a: (a[0], a[1]),
+        fits & (n_want > 0), _append, lambda a: (a[0], a[1]),
         (grid.buf_pts, grid.buf_slot, grid.buf_count))
     buf_count = jnp.where(fits, grid.buf_count + n_want, grid.buf_count)
     overflow_buf = grid.overflow_buf + jnp.where(fits, 0, n_want)
 
     # ---- dependant streaming (OccupancyGrid.hpp:244-277) ----------------
-    # Pair space = (active point, dependant lane), point-major.  Dependant
-    # rows are fetched once per UNIQUE cell as contiguous rows, then
-    # broadcast to the cell's points through the sorted-segment index
-    # (ascending -> streaming access, not random).
+    # Pair space = (active point, dependant lane).  The round-2 design
+    # expanded it to (NA*DW) physical lanes and sorted them by owner —
+    # an 85-117 ms 4-channel sort at the K=8 bench shape plus a second
+    # full-width start-compaction argsort (~43 ms) and P-lane fills
+    # (TPU trace + microbench, 2026-08-19).  This design never builds the
+    # expansion: points are ALREADY grouped by cell (the frame sort
+    # above), and every point of a cell streams into the SAME <= DW
+    # owners, so the 5 cylinder stats are segment-summed per (cell, dep
+    # lane) over the existing cell segments — (5*DW) scan channels at
+    # ~0.2 ns/elem — and only the tiny (U*DW) per-cell partials are
+    # sorted by owner (6-channel sort at U*DW = 2.1 M lanes: 6.3 ms) for
+    # the final unique scatter.  Owner constants (center+normal) reach
+    # point lanes through a dedup: one (owner, lane-index) sort over
+    # (U*DW), <= UH gathers at run starts, a 6-channel fill, and a
+    # sort-back by lane index (sorts beat scatters ~20x per index on
+    # v5e for multi-channel payloads, microbench 2026-08-19).
     #
     # ``dep_width`` (static) bounds the per-cell fan-in this dispatch
-    # expands — the WHOLE pair lane space (the sort + every fill/scan/sum
-    # below) scales with it.  With ``dep_width_tiers`` the width is chosen
-    # per BATCH by a lax.switch on max(dep_count) over the batch's own
-    # live cells (exact: a too-narrow branch is never selected); with an
-    # explicit ``dep_width`` a too-narrow pick counts its excess pairs in
-    # overflow_hits (never silent).  Measured at the 1 mm bench config the
-    # batch-live maximum is 6-9 vs the static D=12.
+    # handles — every lane space below scales with it.  With
+    # ``dep_width_tiers`` the width is chosen per BATCH by a lax.switch
+    # on max(dep_count) over the batch's own live cells (exact: a
+    # too-narrow branch is never selected); with an explicit
+    # ``dep_width`` a too-narrow pick counts its excess pairs in
+    # overflow_hits (never silent).  Measured at the 1 mm bench config
+    # the batch-live maximum is 6-9 vs the static D=12.
     scale = K if batched else 1
     udep_cnt = grid.dep_count[us]                          # (U,)
 
     def _pair_block(DW):
-        """The whole pair path at static dependant width ``DW`` — every
-        lane space below (the (NA,DW) expansion, the pair sort, the fills,
-        scans, sums and the final scatter) scales with it."""
+        """The whole dependant-stream path at static width ``DW``."""
+        M2 = U * DW
         UH = min(hit_lanes if hit_lanes is not None
-                 else scale * config.max_hit_voxels, NA * DW)
+                 else scale * config.max_hit_voxels, M2)
         dj_row = jnp.arange(DW, dtype=i32)[None, :]        # (1,DW)
         # ONE row gather (k contiguous elems/index) — U indices, not U*DW
         udep_rows = rows(grid.dep, D, us)[:, :DW]          # (U,DW)
-        # broadcast the DW dep slots + count to point lanes with ONE
-        # stacked segment fill ((DW+1) channels x NA) instead of (NA,DW)
-        # row gathers
-        dep_start = jnp.zeros((DW + 1, NA), i32).at[:, uorder].set(
-            jnp.concatenate([udep_rows.T, udep_cnt[None, :]], axis=0),
-            unique_indices=True)
-        dep_fill = segment_fill(dep_start, starts)         # (DW+1,NA)
-        dep_rows = dep_fill[:DW].T                         # (NA,DW)
-        dep_cnt_s = dep_fill[DW]
-        dvalid = (placed_s[:, None] & (dj_row < dep_cnt_s[:, None])
-                  & (dep_rows >= 0))                       # (NA,DW)
+        ujvalid = (uplaced[:, None] & (dj_row < udep_cnt[:, None])
+                   & (udep_rows >= 0))                     # (U,DW)
+
+        # -- owner constants, dedup'd over the batch's distinct owners --
+        flat_own = jnp.where(ujvalid, udep_rows, _BIG).reshape(-1)  # (M2,)
+        so_own, so_idx = jax.lax.sort(
+            (flat_own, jnp.arange(M2, dtype=i32)), num_keys=1,
+            is_stable=True)
+        ostarts = segment_starts(so_own, so_own != _BIG)
+        n_own = jnp.sum(ostarts.astype(i32))
+        oorder = jnp.argsort(~ostarts, stable=True)[:UH]
+        start_own = so_own[oorder]
+        oso = jnp.clip(start_own, 0, C - 1)
+        o_center = geometry.center_of_ids(key_table[oso], config,
+                                          offset)          # (3,UH)
+        o_nrows = rows(grid.normal, 3, oso)                # (UH,3)
+        uh_lim = jnp.where(n_own > UH, UH - 1, n_own)
+        overflow_hits = grid.overflow_hits + jnp.maximum(n_own - uh_lim, 0)
         # pairs beyond the dep_width window: impossible when the width
         # came from the per-batch switch (it covers the batch max), live
         # only via an explicit too-narrow ``dep_width=`` (counted, never
-        # silent); at full width dep_cnt <= D by construction
+        # silent).  Per-unique placed-point counts (esum4[3]) make this
+        # O(U): sum_points max(dep_cnt-DW,0) groups by cell exactly.
         if DW < D:
-            n_wide = jnp.sum(jnp.where(placed_s,
-                                       jnp.maximum(dep_cnt_s - DW, 0), 0))
-        else:
-            n_wide = 0
+            overflow_hits = overflow_hits + jnp.sum(jnp.where(
+                uplaced,
+                jnp.round(esum4[3]).astype(i32)
+                * jnp.maximum(udep_cnt - DW, 0), 0))
+        # owners whose run start overflowed UH carry no constants — gate
+        # them out (counted above).  oorder holds the UH lowest-owner
+        # runs (starts ascend in owner-sorted lane order), so dropped
+        # owners are exactly those at or above the first dropped run's
+        # owner — one scalar threshold.
+        thresh = jnp.where(n_own > UH,
+                           start_own[jnp.minimum(uh_lim, UH - 1)], _BIG)
+        ok_sorted = (so_own < thresh).astype(f32)
 
-        # sort pair lanes by owner slot, point coords riding as payloads;
-        # the sort also compacts ACTIVE pairs into a prefix, so the
-        # fill/scan/sum machinery below runs on the (much smaller) static
-        # pair budget
-        pairkey = jnp.where(dvalid, dep_rows, _BIG).reshape(-1)  # (NA*DW,)
-        P = min(pair_lanes if pair_lanes is not None
-                else scale * config.max_stream_pairs, NA * DW)
-        n_pair = jnp.sum(dvalid.astype(i32))
-        ppx = jnp.broadcast_to(world_s[0][:, None], (NA, DW)).reshape(-1)
-        ppy = jnp.broadcast_to(world_s[1][:, None], (NA, DW)).reshape(-1)
-        ppz = jnp.broadcast_to(world_s[2][:, None], (NA, DW)).reshape(-1)
-        powner, px, py, pz = jax.lax.sort((pairkey, ppx, ppy, ppz),
-                                          num_keys=1, is_stable=True)
-        powner = powner[:P]
-        px_, py_, pz_ = px[:P], py[:P], pz[:P]
-        pvalid = powner != _BIG
-        pstarts = segment_starts(powner, pvalid)
-
-        # owner center/normal fetched at run STARTS only (<= UH random
-        # gathers), scattered to the start lanes and segment-filled across
-        # each run — never one random gather per pair lane.
-        sorder = jnp.argsort(~pstarts, stable=True)[:UH]
-        so_owner = powner[sorder]
-        oso = jnp.clip(so_owner, 0, C - 1)
-        so_center = geometry.center_of_ids(key_table[oso], config,
-                                           offset)         # (3,UH)
-        so_nrows = rows(grid.normal, 3, oso)               # (UH,3)
-        n_pstarts = jnp.sum(pstarts.astype(i32))
-        uh_lim = jnp.where(n_pstarts > UH, UH - 1, n_pstarts)
-        overflow_hits = (grid.overflow_hits
-                         + jnp.maximum(n_pstarts - uh_lim, 0)
-                         + jnp.maximum(n_pair - P, 0))
-        if DW < D:
-            overflow_hits = overflow_hits + n_wide
-
-        def _at_starts(vals):                              # (UH,) -> (P,)
-            # sorder is a permutation prefix => unique positions; rows
+        def _at_starts(vals):                              # (UH,) -> (M2,)
+            # oorder is a permutation prefix => unique positions; rows
             # past the real starts land on non-start lanes, never read
-            return jnp.zeros((P,), vals.dtype).at[sorder].set(
+            return jnp.zeros((M2,), vals.dtype).at[oorder].set(
                 vals, unique_indices=True)
 
-        ofill = jnp.stack([_at_starts(so_center[0]),
-                           _at_starts(so_center[1]),
-                           _at_starts(so_center[2]),
-                           _at_starts(so_nrows[:, 0]),
-                           _at_starts(so_nrows[:, 1]),
-                           _at_starts(so_nrows[:, 2])], axis=0)  # (6,P)
-        ofill = segment_fill(ofill, pstarts)
-        o_center = ofill[0:3]
-        o_normal = ofill[3:6]
-        # a run whose start overflowed UH carries a stale fill — gate it
-        # out (counted in overflow_hits above).  sorder holds the UH
-        # lowest-owner runs (starts ascend in the owner-sorted lane
-        # order), so stale-filled lanes are exactly those at or above the
-        # first DROPPED run's owner (so_owner[uh_lim], matching the e_ok
-        # run-end gate below) — two scalars instead of the former
-        # owner-echo fill channel (a 7th P-lane scan, ~11 ms/batch).
-        thresh = jnp.where(n_pstarts > UH, so_owner[jnp.minimum(uh_lim,
-                                                                UH - 1)],
-                           _BIG)
-        fill_ok = powner < thresh
+        confill = segment_fill(jnp.stack(
+            [_at_starts(o_center[0]), _at_starts(o_center[1]),
+             _at_starts(o_center[2]), _at_starts(o_nrows[:, 0]),
+             _at_starts(o_nrows[:, 1]), _at_starts(o_nrows[:, 2])],
+            axis=0), ostarts)                              # (6,M2)
+        # back to (u, j) order: so_idx is a permutation of arange(M2), so
+        # a stable sort on it restores flat (cell-major) order exactly
+        inv = jax.lax.sort((so_idx, confill[0], confill[1], confill[2],
+                            confill[3], confill[4], confill[5], ok_sorted),
+                           num_keys=1, is_stable=True)
+        okj = (inv[7].reshape(U, DW) > 0) & ujvalid        # (U,DW)
+        con = jnp.stack(inv[1:7], axis=0).reshape(6, U, DW)
+        okt = okj.T[None]                                  # (1,DW,U)
+        # fold invalid/dropped lanes into the constants: a far-away
+        # center (finite: hr^2 stays below f32 max, no NaN path) makes
+        # the cylinder gate reject every point of that (cell, lane)
+        cstar = jnp.where(okt, jnp.transpose(con[:3], (0, 2, 1)), 3e18)
+        nstar = jnp.where(okt, jnp.transpose(con[3:], (0, 2, 1)), 0.0)
+        smat = jnp.concatenate([cstar, nstar], 0).reshape(6 * DW, U)
 
-        hq = jnp.stack([px_, py_, pz_], axis=0) - o_center
-        ht = jnp.sum(hq * o_normal, axis=0)                # scalar proj t
-        hr = hq - ht[None, :] * o_normal
-        hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))
-        hhit = pvalid & fill_ok & (hdist < config.cylinder_radius)
-        # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the run's
-        # constant normal, so only [t, t², d, d², 1] need summing — 5 scan
-        # channels instead of 9
-        vals5 = jnp.where(hhit[None, :], jnp.stack(
+        # -- broadcast (cell, lane) constants to point lanes: one scatter
+        # to segment starts + one (6*DW)-channel fill over NA
+        fill0 = jnp.zeros((6 * DW, NA), f32).at[:, uorder].set(
+            smat, unique_indices=True)
+        filled = segment_fill(fill0, starts)               # (6DW,NA)
+        cfill = filled[:3 * DW].reshape(3, DW, NA)
+        nfill = filled[3 * DW:].reshape(3, DW, NA)
+
+        # -- per-(point, lane) cylinder test; arithmetic identical to the
+        # reference's projectPointToVector form (OccupancyGrid.hpp:40-49)
+        hq = world_s[:, None, :] - cfill                   # (3,DW,NA)
+        ht = jnp.sum(hq * nfill, axis=0)                   # scalar proj t
+        hr = hq - ht[None] * nfill
+        hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))         # (DW,NA)
+        hhit = placed_s[None, :] & (hdist < config.cylinder_radius)
+        # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the
+        # owner's constant normal, so only [t, t², d, d², 1] need summing
+        vals5 = jnp.where(hhit[None], jnp.stack(
             [ht, ht * ht, hdist, hdist * hdist,
-             jnp.ones((P,), f32)], axis=0), 0.0)
-        hsum5 = segment_sums(vals5, pstarts)
+             jnp.ones_like(ht)], axis=0), 0.0)             # (5,DW,NA)
+        hsum = segment_sums(vals5.reshape(5 * DW, NA), starts)
+        part = hsum[:, eorder]                             # (5DW,U) at ends
 
-        # run-END compaction, then ONE 5-component unique-scatter; end
-        # positions derive from the start positions (ops/scatter.py
-        # end_positions) instead of a second full-width partition sort
-        eorder2 = end_positions(sorder.astype(i32), n_pstarts,
-                                jnp.sum(pvalid.astype(i32)))
-        e_owner = powner[eorder2]
+        # -- reduce (cell, lane) partials by owner: same key as the
+        # constants sort => same permutation, so ostarts/oorder are
+        # reused; end positions derive from the start positions
+        flat5 = jnp.transpose(part.reshape(5, DW, U),
+                              (0, 2, 1)).reshape(5, M2)
+        psort = jax.lax.sort((flat_own, flat5[0], flat5[1], flat5[2],
+                              flat5[3], flat5[4]), num_keys=1,
+                             is_stable=True)
+        rsum5 = segment_sums(jnp.stack(psort[1:], axis=0), ostarts)
+        n_uj = jnp.sum(ujvalid.astype(i32))
+        eorder2 = end_positions(oorder.astype(i32), n_own, n_uj)
+        e_owner = so_own[eorder2]
         e_ok = jnp.arange(UH, dtype=i32) < uh_lim
-        e5 = hsum5[:, eorder2]                             # (5,UH)
+        e5 = rsum5[:, eorder2]                             # (5,UH)
         return (scatter_add(grid.cyl_stats, e_owner, e_ok,
                             [e5[r] for r in range(5)], C),
                 overflow_hits)
@@ -604,6 +615,6 @@ def integrate_frame_impl(grid: GridState,
 integrate_frame = partial(jax.jit,
                           static_argnames=("config", "pre_transformed",
                                            "active_lanes", "unique_lanes",
-                                           "pair_lanes", "hit_lanes",
+                                           "hit_lanes",
                                            "dep_width", "dep_width_tiers"),
                           donate_argnames=("grid",))(integrate_frame_impl)

@@ -112,8 +112,7 @@ def test_batched_budget_overrides_and_overflow():
     # generous explicit budgets: still exact
     bat = integrate_frame(make_grid(CFG), *_stack(fs), config=CFG,
                           active_lanes=3 * CFG.max_points,
-                          unique_lanes=4096, pair_lanes=1 << 15,
-                          hit_lanes=1 << 12)
+                          unique_lanes=4096, hit_lanes=1 << 12)
     seq = _seq(make_grid(CFG), fs)
     _assert_equiv(_x(seq), _x(bat))
     # a too-small active budget must COUNT the dropped lanes, not hide them
@@ -149,7 +148,7 @@ def test_batched_depth_wire_matches_sequential_depth():
         jnp.asarray(np.asarray([f.count for f in dfs], np.int32)),
         jnp.asarray(np.stack([f.pose for f in dfs])),
         config=dcfg, rays=jr, dep_width=8,
-        unique_lanes=4096, hit_lanes=4096, pair_lanes=1 << 15)
+        unique_lanes=4096, hit_lanes=4096)
     bat = refine_pass(bat, config=dcfg)
 
     ms, mb = grid_metrics(seq, dcfg), grid_metrics(bat, dcfg)

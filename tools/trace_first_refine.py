@@ -22,7 +22,7 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
-    from bench import (BATCH, BATCH_HITS, BATCH_PAIRS, BATCH_UNIQUE,
+    from bench import (BATCH, BATCH_HITS, BATCH_UNIQUE,
                        DW_TIERS, REFINE_TIERS, REPLAY_TIERS, STEADY_DW,
                        bench_config,
                        bench_rays)
@@ -46,7 +46,6 @@ def main():
     bkw = dict(unique_lanes=min(BATCH_UNIQUE,
                                 BATCH * cfg.max_unique_per_frame),
                hit_lanes=min(BATCH_HITS, BATCH * cfg.max_hit_voxels),
-               pair_lanes=min(BATCH_PAIRS, BATCH * cfg.max_stream_pairs),
                **dkw)
     stack = (jnp.asarray(np.stack([f.depth_q for f in dframes])),
              jnp.asarray(np.stack([f.rgb565 for f in dframes])),
