@@ -94,7 +94,13 @@ REFINE_TIERS = (TINY_BUDGETS, STEADY_BUDGETS, MID_BUDGETS)
 # 2^22 tier covers the FIRST refine (t_rep = 8 frames x 307k pts = 2.46M
 # buffered points, all replayed at once) at half the full 2^23 budget's
 # gather/fill machinery (~240 ms once per sweep, TPU probe 2026-08-19).
-REPLAY_TIERS = (1 << 13, 1 << 20, 1 << 21, 1 << 22)
+# The 2^20/2^21 middle rungs were dropped (round 3): each rung
+# instantiates the replay block in EVERY covering outer tier, and the
+# refine executable had grown to 209 MB — whose persistent-cache
+# deserialization on this 1-core host is the dominant warm-start cost
+# (PERF.md §2).  Mid-sweep passes with 0.1-1M-point replays now run the
+# 2^22 block (~+30 ms on 2-4 passes per sweep) — warm-start matters more.
+REPLAY_TIERS = (1 << 13, 1 << 22)
 # Emission bound for the capped extract: the bench sweep peaks at
 # 262,375 voxels (deterministic: seed-0 sweep); 4.5*2^16 = 294,912
 # leaves 12% margin and sizes the export host fetch at ~13 MB (11
@@ -117,7 +123,13 @@ if BATCH > 1 and WIRE == "q16":
 # machinery (hash insert, dep-row + vstats gathers, cyl/vstats scatters:
 # ~90 of integrate's 150 ms, PERF.md §5) runs once per batch at near-
 # single-frame width.  Overflow counters guard the bound as always.
-BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 1 << 18))
+# UNIQUE sizes the (U, dep_width) pair-partial space — every owner-dedup
+# sort/fill in the pair block scales with it (ops/integrate.py): the
+# bench sweep's measured per-batch union peaks at 150,565 distinct cells
+# (host recount, 2026-08-19), so 180,224 carries 20% margin at 31% less
+# pair-machinery work than the old 2^18.  HITS bounds the distinct-OWNER
+# compaction, for which only "zero overflow at 2^18" is known — it stays.
+BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 180224))
 BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 1 << 18))
 # Camera focal length for the depth wire (pixels).  Chosen so the sweep's
 # DENSITY matches the q16/f32 sweeps and the round-1 baseline workload:

@@ -211,17 +211,50 @@ class FusionPipeline:
 
     def extract_fetcher(self, grid: GridState):
         """One device extraction, incremental host fetches: returns
-        ``fetch(fields) -> dict`` over a single ExtractResult, so the
-        session can pull the CSV lanes first and format them on a thread
-        while the PCD lanes are still crossing the d->h tunnel
-        (runtime/session.process — the tunnel is CPU-idle time)."""
-        from ..ops.extract import to_host
+        ``fetch(fields, prefetch=()) -> dict`` over a single ExtractResult,
+        so the session can pull the CSV lanes first and format them on a
+        thread while the PCD lanes are still crossing the d->h tunnel
+        (runtime/session.process — the tunnel is CPU-idle time).
+
+        Wire slimming (the tunnel charges ~45 ms/MB): ``centroid`` never
+        crosses as 3 f32 lanes — it travels as (cell, mean_t) and is
+        reconstructed on host to within 1 ulp (ops/extract.
+        centroid_from_wire), reusing normal/count from an earlier wave's
+        cache.  ``prefetch`` starts the async d->h copies of a later
+        wave's fields behind this one's."""
+        from ..ops.extract import ExtractResult, centroid_from_wire, to_host
         cap = self.config.extract_cap
         result = self.extract(grid, cap=cap or None)
         if cap and int(result.n_valid) > cap:
             # pay the full-width extract rather than truncate
             result = self.extract(grid, cap=0)
-        return partial(to_host, result)
+        cfg = self.config
+        cache = {}
+
+        def _wire(fields):
+            need = []
+            for f in fields:
+                sub = ("cell", "mean_t", "normal", "count") \
+                    if f == "centroid" else (f,)
+                need += [s for s in sub
+                         if s not in cache and s not in need]
+            return tuple(need)
+
+        def fetch(fields=None, prefetch=()):
+            want = tuple(f for f in (fields if fields is not None
+                                     else ExtractResult._fields)
+                         if f != "n_valid")
+            need = _wire(want)
+            if need:
+                cache.update(to_host(result, need,
+                                     prefetch=_wire(prefetch)))
+            if "centroid" in want and "centroid" not in cache:
+                cache["centroid"] = centroid_from_wire(
+                    cache["cell"], cache["mean_t"], cache["normal"],
+                    cache["count"], cfg)
+            return {f: cache[f] for f in want}
+
+        return fetch
 
     def grid_metrics(self, grid: GridState) -> dict:
         from ..grid import grid_metrics

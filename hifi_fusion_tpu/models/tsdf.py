@@ -305,7 +305,7 @@ class TsdfPipeline:
         result is small — one fetch, subsequent calls subset the dict."""
         h = self.extract_host(grid)
 
-        def fetch(fields=None):
+        def fetch(fields=None, prefetch=()):
             return h if fields is None else {k: h[k] for k in fields}
         return fetch
 

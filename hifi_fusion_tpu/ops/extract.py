@@ -55,6 +55,11 @@ class ExtractResult(NamedTuple):
     # (exactly io/pcd's clip->truncate->pack) instead of 3+3 f32 lanes.
     var_t: jax.Array      # (C,)  f32 variance of the scalar projection t
     rgb_packed: jax.Array  # (C,) u32 0x00RRGGBB (PCL packed color)
+    # mean scalar projection t: the session's PCD export fetches (cell,
+    # mean_t) — 2 lanes — instead of the 3-lane centroid and reconstructs
+    # ``centroid = cell_center(cell) + normal * mean_t`` on host to
+    # within 1 ulp (centroid_from_wire; models/pipeline.extract_fetcher)
+    mean_t: jax.Array     # (C,)  f32
 
 
 def extract_impl(grid: GridState, *, config: FusionConfig,
@@ -134,6 +139,7 @@ def extract_impl(grid: GridState, *, config: FusionConfig,
         n_pts=npts.astype(jnp.int32),
         var_t=jnp.where(has, var_t, 0.0),
         rgb_packed=rgb_packed,
+        mean_t=jnp.where(has, mean_t, 0.0),
     )
 
 
@@ -145,10 +151,12 @@ _PLANAR_FIELDS = ("centroid", "normal", "sd", "rgb")
 
 
 # What process()'s PCD + metadata-CSV export fetches (runtime/session.py):
-# 11 of the 19 result lanes, in two waves so the CSV formats on a thread
+# 10 of the 20 result lanes, in two waves so the CSV formats on a thread
 # while the PCD lanes are still crossing the d->h tunnel.  ``sd`` is
 # reconstructed on host from normal + var_t (bit-identical, see
-# ExtractResult), ``rgb`` travels as the packed u32 the PCD stores anyway.
+# ExtractResult), ``rgb`` travels as the packed u32 the PCD stores anyway,
+# and ``centroid`` travels as (cell, mean_t) — 2 lanes instead of 3 —
+# reconstructed by the fetcher (models/pipeline.extract_fetcher).
 CSV_EXPORT_FIELDS = ("normal", "var_t", "mean_dist", "sd_dist", "count")
 PCD_EXPORT_FIELDS = ("centroid", "rgb_packed")
 # legacy single-wave set (full-precision rgb + per-axis sd)
@@ -156,7 +164,36 @@ EXPORT_FIELDS = ("centroid", "normal", "sd", "mean_dist", "sd_dist",
                  "count", "rgb")
 
 
-def to_host(result: ExtractResult, fields=None) -> dict:
+def centroid_from_wire(cell, mean_t, normal, count, config,
+                       offset=None):
+    """Reconstruct the (n,3) f32 centroid from the 2-lane export wire.
+
+    Matches the device's ``ExtractResult.centroid`` to within 1 ulp: the
+    same f32 expressions — ``center = origin + res * (coords + 0.5)``
+    (geometry.cell_center) then ``center + normal * mean_t`` masked to
+    ``count > 0`` — except XLA may contract the mul-adds into FMAs
+    (measured max |diff| 1.5e-8 m, i.e. 15 nano-meters, on the small-config
+    sweep; the oracle-parity tolerance is 2e-5 m).  ``cell`` may be int64
+    (sharded global ids); ``offset`` shifts local coords global (unused
+    single-chip)."""
+    import numpy as np
+    _, dy, dz = config.dims
+    ids = np.asarray(cell, np.int64)
+    coords = np.stack([ids // (dy * dz), (ids // dz) % dy, ids % dz],
+                      axis=1)
+    if offset is not None:
+        coords = coords + np.asarray(offset, np.int64)[None, :]
+    origin = np.asarray(config.origin, np.float32)
+    res = np.asarray(config.resolution, np.float32)
+    center = origin[None, :] + res[None, :] * (
+        coords.astype(np.float32) + np.float32(0.5))
+    c = center + np.asarray(normal, np.float32) \
+        * np.asarray(mean_t, np.float32)[:, None]
+    return np.where(np.asarray(count)[:, None] > 0, c,
+                    np.float32(0.0)).astype(np.float32, copy=False)
+
+
+def to_host(result: ExtractResult, fields=None, prefetch=()) -> dict:
     """Device ExtractResult -> host dict of trimmed NumPy arrays (row-major
     (n,3) vectors for I/O and analysis).
 
@@ -170,15 +207,31 @@ def to_host(result: ExtractResult, fields=None) -> dict:
 
     ``fields``: fetch only this subset of result fields (the d->h tunnel
     charges per byte — ``EXPORT_FIELDS`` is what ``process()`` needs);
-    None fetches everything."""
+    None fetches everything.
+
+    ``prefetch``: additional fields whose device->host copies are STARTED
+    (``copy_to_host_async``) behind this call's own — a later fetch of
+    those fields finds the bytes already crossing (or across) the tunnel.
+    All requested fields are async-started before the first blocking
+    materialization, so per-fetch tunnel latencies overlap instead of
+    serializing (measured ~1.28 s for the 11-lane export at the bench
+    config, of which device compute was 43 ms)."""
     import numpy as np
     n = int(result.n_valid)
     if n > result.cell.shape[0]:
         raise RuntimeError(
             f"extract cap too small: {n} voxels emitted, cap "
             f"{result.cell.shape[0]} — re-extract with a larger cap")
+    want = tuple(fields if fields is not None else ExtractResult._fields)
+    for f in want + tuple(prefetch):
+        if f == "n_valid":
+            continue
+        try:
+            getattr(result, f).copy_to_host_async()
+        except Exception:      # backend without async host copies
+            break
     out = {}
-    for f in (fields if fields is not None else ExtractResult._fields):
+    for f in want:
         if f == "n_valid":
             continue
         a = np.asarray(getattr(result, f))

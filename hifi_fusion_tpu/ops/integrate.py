@@ -95,7 +95,20 @@ def _frontend(points_cam, mask, pose, config, offset=None,
     return world, geometry.cell_id(coords, config), valid
 
 
-def _unpack_inputs(points_cam, rgb, mask, quant, rays=None):
+def _unpack_rgb(rgb, ax, is565):
+    """Packed u32 0xRRGGBB (is565=False) / 5:6:5 (True) -> (3,...) f32."""
+    f32 = jnp.float32
+    if is565:
+        return jnp.stack([((rgb >> 11) & 0x1F).astype(f32) * 8.0,
+                          ((rgb >> 5) & 0x3F).astype(f32) * 4.0,
+                          (rgb & 0x1F).astype(f32) * 8.0], axis=ax)
+    return jnp.stack([((rgb >> 16) & 0xFF).astype(f32),
+                      ((rgb >> 8) & 0xFF).astype(f32),
+                      (rgb & 0xFF).astype(f32)], axis=ax)
+
+
+def _unpack_inputs(points_cam, rgb, mask, quant, rays=None,
+                   defer_rgb=False):
     """Wire-format ingest: dequantize/unpack compact frame encodings.
 
     Ingest variants are keyed on dtype/rank so the f32 path's jaxpr (and
@@ -139,16 +152,17 @@ def _unpack_inputs(points_cam, rgb, mask, quant, rays=None):
             raise ValueError("u16 points need quant=(2,3) [scale, offset]")
         points_cam = (points_cam.astype(f32) * quant[0][:, None]
                       + quant[1][:, None])
-    # rgb unpack: channel axis is 0 (single frame) or 1 (batched)
+    # rgb unpack: channel axis is 0 (single frame) or 1 (batched).
+    # ``defer_rgb``: packed wires stay packed — the caller rides the ONE
+    # u32 channel through the frame sort (instead of 3 f32 channels) and
+    # unpacks on the compacted NA prefix (_unpack_rgb).
     ax = 0 if points_cam.ndim == 2 else 1
-    if rgb.dtype == jnp.uint32:
-        rgb = jnp.stack([((rgb >> 16) & 0xFF).astype(f32),
-                         ((rgb >> 8) & 0xFF).astype(f32),
-                         (rgb & 0xFF).astype(f32)], axis=ax)
-    elif rgb.dtype == jnp.uint16:
-        rgb = jnp.stack([((rgb >> 11) & 0x1F).astype(f32) * 8.0,
-                         ((rgb >> 5) & 0x3F).astype(f32) * 4.0,
-                         (rgb & 0x1F).astype(f32) * 8.0], axis=ax)
+    if rgb.dtype in (jnp.uint32, jnp.uint16):
+        is565 = rgb.dtype == jnp.uint16
+        if defer_rgb:
+            rgb = (rgb.astype(jnp.uint32), is565)
+        else:
+            rgb = _unpack_rgb(rgb, ax, is565)
     n = points_cam.shape[-1]
     if mask.ndim == 0:
         mask = jnp.arange(n, dtype=jnp.int32) < mask.astype(jnp.int32)
@@ -216,7 +230,12 @@ def integrate_frame_impl(grid: GridState,
     f32 = jnp.float32
     i32 = jnp.int32
     points_cam, rgb, mask = _unpack_inputs(points_cam, rgb, mask, quant,
-                                           rays)
+                                           rays, defer_rgb=True)
+    # packed wires ride the frame sort as ONE u32 channel (vs 3 f32) and
+    # unpack on the compacted NA prefix — 2 fewer sort operands at M lanes
+    rgb_packed = isinstance(rgb, tuple)
+    if rgb_packed:
+        rgb, rgb_is565 = rgb
     batched = points_cam.ndim == 3
 
     if batched:
@@ -261,7 +280,8 @@ def integrate_frame_impl(grid: GridState,
         ids = geometry.cell_id(coords, config).reshape(M)
         world = wpl.reshape(3, M)
         valid = valid_k.reshape(M)
-        rgb = rgb.transpose(1, 0, 2).reshape(3, M)
+        rgb = rgb.reshape(M) if rgb_packed \
+            else rgb.transpose(1, 0, 2).reshape(3, M)
         fid = jnp.broadcast_to(jnp.arange(K, dtype=i32)[:, None],
                                (K, N)).reshape(M)
         vp_table = pose[:, :3, 3]                     # (K,3)
@@ -283,12 +303,14 @@ def integrate_frame_impl(grid: GridState,
     skey = jnp.where(valid, ids, _BIG)
     operands = [skey, world[0], world[1], world[2]]
     if config.store_color:
-        operands += [rgb[0], rgb[1], rgb[2]]
+        operands += [rgb] if rgb_packed else [rgb[0], rgb[1], rgb[2]]
     if batched:
         operands.append(fid)
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
     sid_f, wx, wy, wz = sorted_ops[:4]
-    if config.store_color:
+    if config.store_color and rgb_packed:
+        rgb_s = _unpack_rgb(sorted_ops[4][:NA], 0, rgb_is565)
+    elif config.store_color:
         rgb_s = jnp.stack([sorted_ops[4][:NA], sorted_ops[5][:NA],
                            sorted_ops[6][:NA]], axis=0)
     else:

@@ -61,7 +61,8 @@ def _neighbor_offsets(config: FusionConfig) -> np.ndarray:
 def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                      offset=None, replay_lanes=None, cand_lanes=None,
                      buf_lanes=None, replay_runs=None,
-                     tiers=None, replay_tiers=None) -> GridState:
+                     tiers=None, replay_tiers=None,
+                     _hoisted=None) -> GridState:
     """Budget overrides (all static, smaller-or-equal to the config bounds;
     ``None`` = the config value) let steady-state passes run on live-count-
     sized lane spaces instead of worst-case ones — the round-1 trace showed
@@ -96,8 +97,15 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
             "tiers and explicit budgets are mutually exclusive"
         from ..grid import occupied_slots as _occ
         Cc = config.capacity
-        n_cand = jnp.sum((_occ(grid, Cc)
-                          & ~grid.normal_found[:Cc]).astype(jnp.int32))
+        # HOISTED candidate compaction: the tier choice needs n_cand
+        # anyway, and every branch needs the same full-capacity stable
+        # partition (only its [:U] slice width differs) — computing it
+        # once here instead of per-branch saves the duplicate full-table
+        # mask + 4.2M-lane argsort (~10 ms/pass at the bench config;
+        # XLA cannot CSE across the switch boundary).
+        cand_mask_h = _occ(grid, Cc) & ~grid.normal_found[:Cc]
+        n_cand = jnp.sum(cand_mask_h.astype(jnp.int32))
+        corder_h = jnp.argsort(~cand_mask_h, stable=True)
         nbuf = grid.buf_count
         ix = jnp.int32(len(tiers))          # fallback: full config budgets
         for i in reversed(range(len(tiers))):
@@ -111,7 +119,8 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                     cand_lanes=budget[0], buf_lanes=budget[1],
                     replay_runs=budget[2], replay_lanes=budget[3])
                 return refine_pass_impl(g, config=config, offset=offset,
-                                        replay_tiers=replay_tiers, **kw)
+                                        replay_tiers=replay_tiers,
+                                        _hoisted=(n_cand, corder_h), **kw)
             return _branch
 
         return jax.lax.switch(ix, [_mk(t) for t in tiers] + [_mk(None)],
@@ -132,11 +141,16 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     # argsort(~mask) is a stable partition: the True lanes' indices land
     # ascending in the prefix — identical to nonzero(size=U) but ~3x
     # cheaper on v5e (nonzero's lowering measured 36.6 ms at C=4.19M,
-    # PERF.md §5; a 2-op sort streams at ~1.4 ns/elem/op).
-    from ..grid import occupied_slots
-    cand_mask = occupied_slots(grid, C) & ~grid.normal_found[:C]
-    n_cand = jnp.sum(cand_mask.astype(i32))
-    corder = jnp.argsort(~cand_mask, stable=True)
+    # PERF.md §5; a 2-op sort streams at ~1.4 ns/elem/op).  A tiered
+    # caller hoists this block out of its lax.switch (computed once for
+    # the tier choice AND every branch).
+    if _hoisted is not None:
+        n_cand, corder = _hoisted
+    else:
+        from ..grid import occupied_slots
+        cand_mask = occupied_slots(grid, C) & ~grid.normal_found[:C]
+        n_cand = jnp.sum(cand_mask.astype(i32))
+        corder = jnp.argsort(~cand_mask, stable=True)
     # configs may budget more candidates than table slots (nonzero's old
     # size=U padding) — pad the partition out to U lanes
     corder = corder[:U] if U <= C else jnp.pad(corder, (0, U - C))

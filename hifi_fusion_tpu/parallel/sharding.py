@@ -690,7 +690,10 @@ class ShardedPipeline:
         """One mesh extraction, incremental host fetches (see
         FusionPipeline.extract_fetcher)."""
         result = self.sf.extract(grid)
-        return lambda fields=None: result.to_host(fields=fields)
+        # prefetch is accepted for interface parity; the per-shard fetch
+        # loop already pipelines across shards
+        return (lambda fields=None, prefetch=():
+                result.to_host(fields=fields))
 
     def grid_metrics(self, grid) -> dict:
         return self.sf.metrics(grid)

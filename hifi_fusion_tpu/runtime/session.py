@@ -230,10 +230,16 @@ class FusionSession:
                 # (~0.5 s at 262k rows), so the two hide each other.
                 from ..io import pcd as _pcd
                 want_rgb3 = bool(variants) or cloud_path.endswith(".ply")
+                pcd_fields = (("centroid", "rgb_packed")
+                              + (("rgb",) if want_rgb3 else ()))
                 with self.timers.stage("process_extract"):
                     fetch = self.pipeline.extract_fetcher(grid)
+                    # prefetch: the PCD lanes' async d->h copies start
+                    # behind the CSV lanes', so the tunnel streams
+                    # back-to-back while the CSV thread formats
                     csv_host = fetch(("normal", "var_t", "mean_dist",
-                                      "sd_dist", "count"))
+                                      "sd_dist", "count"),
+                                     prefetch=pcd_fields)
                 csv_err = []
 
                 def _write_csv():
@@ -251,8 +257,7 @@ class FusionSession:
                                               name="csv-export")
                 csv_thread.start()
                 with self.timers.stage("process_extract"):
-                    host = fetch(("centroid", "rgb_packed")
-                                 + (("rgb",) if want_rgb3 else ()))
+                    host = fetch(pcd_fields)
                 host["normal"] = csv_host["normal"]
                 host["count"] = csv_host["count"]   # variants filter on it
                 with self.timers.stage("process_export"):
