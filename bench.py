@@ -167,6 +167,7 @@ def remaining():
 # ----------------------------------------------------------------------
 class State:
     tpu_pts_per_s = None       # fresh measurement this run
+    tpu_persistable = False    # True only after a steady run on a REAL tpu
     base_pts_per_s = None
     cached = {}                # previously committed measurements
     emitted = False
@@ -230,7 +231,13 @@ def save_measured(tpu_notes=None, baseline_notes=None):
     and the prose describing them must never describe different runs
     (round-1 advisor finding: stale *_notes next to overwritten numbers)."""
     data = dict(STATE.cached)
-    if STATE.tpu_pts_per_s is not None:
+    # Only a steady-state run on a real TPU backend may overwrite the
+    # persisted TPU number: warmup floors and BENCH_PLATFORM=cpu smoke
+    # runs set STATE.tpu_pts_per_s for emit(), and the baseline phase's
+    # save call used to leak those into the JSON with stale notes
+    # (2026-08-20: a CPU mechanics run persisted 3,954 pts/s over the
+    # real 4.236 Mpts/s measurement).
+    if STATE.tpu_pts_per_s is not None and STATE.tpu_persistable:
         data["tpu_pts_per_s"] = STATE.tpu_pts_per_s
         data["tpu_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
         if tpu_notes:
@@ -421,6 +428,7 @@ def run_tpu(cfg, frames):
         log(f"budget nearly gone ({remaining():.0f}s); keeping warmup tput")
         return
     STATE.tpu_pts_per_s = run_once(n, "steady")
+    STATE.tpu_persistable = jax.default_backend() == "tpu"
     save_measured(tpu_notes=(
         f"bench.py -> FusionSession (the product path) on "
         f"{jax.devices()[0].device_kind} "
@@ -639,9 +647,14 @@ def _phases():
     if n_gen < FRAMES:
         log(f"time-boxing sweep to {n_gen} frames "
             f"({per_frame:.2f}s/frame, budget {gen_budget:.0f}s)")
-    # make_sweep is seed-deterministic: the probe is frames[:2] of any
-    # longer sweep, so extend rather than regenerate
-    frames = (probe + make_frames(cfg, n_gen)[2:]) if n_gen > 2 else probe
+    # The probe is ONLY a generation-cost sample: sweep pose spacing is a
+    # function of n_frames (synthetic.make_depth_sweep divides a fixed
+    # arc), so a 2-frame probe's frame 1 sits at the FAR end of the arc.
+    # The old probe-splicing "optimization" injected that far-jump frame
+    # into the fused sweep, inflating the first batch's unique-cell union
+    # ~36% past every later batch's (device recount 2026-08-19: 204,620
+    # vs 150,565) — regenerate the full sweep instead.
+    frames = make_frames(cfg, n_gen) if n_gen > 2 else probe
     try:
         run_tpu(cfg, frames)
     except Exception as e:

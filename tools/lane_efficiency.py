@@ -1,14 +1,18 @@
-"""Lane-efficiency audit of the bench workload (PERF.md §8, VERDICT r2 #7).
+"""Lane-efficiency audit of the bench workload (PERF.md §9, VERDICT r2 #7).
 
 For each steady-state batch of the bench sweep this reports LIVE lane
 counts against the STATIC budgets each phase actually dispatches, i.e. how
 much of every sort/scan/scatter lane space does real work:
 
 * active    — clip+bbox surviving points vs the NA = K * max_active budget
-* unique    — distinct cells hit vs the batch unique-lane budget
-* pairs     — Σ dep_count over active points vs the pair-lane budget P
-              (the (NA x DW) expansion the pair sort compacts into P)
-* hits      — distinct dependant owners hit vs the hit-lane budget UH
+* unique    — distinct cells hit vs the batch unique-lane budget U
+* partials  — live (cell, dep-lane) pair-partial lanes (Σ dep_count over
+              unique cells) vs the U*DW partial space the pair block scans
+              (ops/integrate.py — the design never expands point-pair
+              lanes physically; the NA*DW elementwise space is always
+              fully dispatched and its live fraction equals active/NA)
+* owners    — DISTINCT dependant owners this batch streams into vs the
+              hit-lane budget UH (sizes the owner-constant dedup)
 * refine    — live candidates / buffered points vs the tier that covers
 
 Run on the TPU (uses the persistent .jax_cache).  One extra analysis
@@ -17,7 +21,6 @@ program compiles on first use.  Output: one line per batch + a summary.
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -37,7 +40,7 @@ def main():
                                                  refine_due)
     from hifi_fusion_tpu.ops import geometry
     from hifi_fusion_tpu.ops.hashing import lookup
-    from hifi_fusion_tpu.ops.scatter import segment_starts
+    from hifi_fusion_tpu.ops.scatter import rows, segment_starts
     from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,6 +59,10 @@ def main():
     pipe = FusionPipeline(cfg)
     grid = pipe.init()
     budgets = batch_lane_budgets(cfg, K)
+    U = budgets["unique_lanes"]
+    UH = budgets["hit_lanes"]
+    DW = max(cfg.dep_width_tiers or (cfg.max_dependants,))
+    NA = K * cfg.max_active_points
     _BIG = jnp.iinfo(jnp.int32).max
 
     @partial(jax.jit, static_argnames=())
@@ -77,38 +84,36 @@ def main():
         sid = jnp.sort(jnp.where(v, ids, _BIG))
         starts = segment_starts(sid, sid != _BIG)
         n_unique = jnp.sum(starts.astype(i32))
-        # dep fan-in of each unique cell (the pair lanes its points expand)
-        uids = jnp.sort(jnp.where(starts, sid, _BIG))[
-            :budgets["unique_lanes"]]
+        # dep fan-in of each unique cell (live (cell, lane) partial lanes)
+        uids = jnp.sort(jnp.where(starts, sid, _BIG))[:U]
         uvalid = uids != _BIG
         slot = lookup(grid.key, jnp.where(uvalid, uids, 0), uvalid,
                       cfg.max_probes, cfg.capacity)
-        dep_u = jnp.where(uvalid & (slot >= 0),
-                          grid.dep_count[jnp.clip(slot, 0,
-                                                  cfg.capacity - 1)], 0)
-        n_hit_owners = jnp.sum((dep_u > 0).astype(i32))
-        # pairs = Σ over unique cells of dep_count * points-in-cell
-        seg = jnp.cumsum(starts.astype(i32)) - 1
-        per_seg = jnp.zeros((budgets["unique_lanes"],), i32).at[
-            jnp.clip(seg, 0, budgets["unique_lanes"] - 1)].add(
-            (sid != _BIG).astype(i32))
-        n_pairs = jnp.sum(per_seg * dep_u)
+        us = jnp.clip(slot, 0, cfg.capacity - 1)
+        ok = uvalid & (slot >= 0)
+        dep_u = jnp.where(ok, grid.dep_count[us], 0)
+        n_partials = jnp.sum(dep_u)
         max_dep = jnp.max(dep_u)
-        return n_active, n_unique, n_pairs, n_hit_owners, max_dep
+        # DISTINCT owners: unique values in the unique cells' dep rows
+        D = cfg.max_dependants
+        drows = rows(grid.dep, D, us)[:, :DW]              # (U,DW)
+        jlane = jnp.arange(DW, dtype=i32)[None, :]
+        dmask = ok[:, None] & (jlane < dep_u[:, None]) & (drows >= 0)
+        flat = jnp.sort(jnp.where(dmask, drows, _BIG).reshape(-1))
+        n_owners = jnp.sum(segment_starts(flat, flat != _BIG).astype(i32))
+        return n_active, n_unique, n_partials, n_owners, max_dep
 
     done = 0
-    print(f"budgets: NA={K * cfg.max_active_points} "
-          f"U={budgets['unique_lanes']} P={budgets['pair_lanes']} "
-          f"UH={budgets['hit_lanes']} dep_tiers={cfg.dep_width_tiers}",
-          flush=True)
-    rows = []
+    print(f"budgets: NA={NA} U={U} partials={U * DW} UH={UH} "
+          f"dep_tiers={cfg.dep_width_tiers}", flush=True)
+    rows_out = []
     for b in range(n_frames // K):
         fb = frames[b * K:(b + 1) * K]
         dq = jnp.asarray(np.stack([f.depth_q for f in fb]))
         rc = jnp.asarray(np.stack([f.rgb565 for f in fb]))
         cn = jnp.asarray(np.asarray([f.count for f in fb], np.int32))
         ps = jnp.asarray(np.stack([f.pose for f in fb]))
-        na, nu, npair, nho, mdep = (int(x) for x in jax.device_get(
+        na, nu, npart, now, mdep = (int(x) for x in jax.device_get(
             audit(grid, dq, rc, cn, ps)))
         grid = pipe.step_batch_depth(grid, dq, rc, cn, ps, jrays)
         done += K
@@ -116,28 +121,23 @@ def main():
         if refine_due(done, K, cfg):
             qc = quick_counts(grid, cfg)   # live counts the tier switch saw
             grid = pipe.refine(grid)
-        row = dict(batch=b, active=na, unique=nu, pairs=npair,
-                   hit_owners=nho, max_dep=mdep,
+        row = dict(batch=b, active=na, unique=nu, partials=npart,
+                   owners=now, max_dep=mdep,
                    cand=(qc or {}).get("refine_candidates"),
                    buffered=(qc or {}).get("buffered_points"))
-        rows.append(row)
-        print(f"batch {b}: active {na}/{K*cfg.max_active_points} "
-              f"({na/(K*cfg.max_active_points):.0%})  "
-              f"unique {nu}/{budgets['unique_lanes']} "
-              f"({nu/budgets['unique_lanes']:.0%})  "
-              f"pairs {npair}/{budgets['pair_lanes']} "
-              f"({npair/budgets['pair_lanes']:.0%}; expansion "
-              f"{npair/max(na*max(mdep,1),1):.0%} of NAxmax_dep)  "
-              f"hit_owners {nho}/{budgets['hit_lanes']} "
-              f"({nho/budgets['hit_lanes']:.0%})  max_dep {mdep}"
+        rows_out.append(row)
+        print(f"batch {b}: active {na}/{NA} ({na/NA:.0%})  "
+              f"unique {nu}/{U} ({nu/U:.0%})  "
+              f"partials {npart}/{U*DW} ({npart/(U*DW):.0%})  "
+              f"owners {now}/{UH} ({now/UH:.0%})  max_dep {mdep}"
               + (f"  refine: cand {row['cand']} buf {row['buffered']} "
                  f"(tiers {REFINE_TIERS and [t[0] for t in REFINE_TIERS]})"
                  if qc else ""), flush=True)
-    tail = rows[len(rows) // 2:]
+    tail = rows_out[len(rows_out) // 2:]
     print(f"steady means: active {np.mean([r['active'] for r in tail]):,.0f}"
           f"  unique {np.mean([r['unique'] for r in tail]):,.0f}"
-          f"  pairs {np.mean([r['pairs'] for r in tail]):,.0f}"
-          f"  hit_owners {np.mean([r['hit_owners'] for r in tail]):,.0f}",
+          f"  partials {np.mean([r['partials'] for r in tail]):,.0f}"
+          f"  owners {np.mean([r['owners'] for r in tail]):,.0f}",
           flush=True)
 
 
