@@ -201,7 +201,8 @@ def make_depth_sweep(config: FusionConfig,
                      noise_sd: float = 3e-4,
                      surface_frac: float = 0.5,
                      camera_height: float = 0.4,
-                     srays: np.ndarray = None) -> List[DepthFrame]:
+                     srays: np.ndarray = None,
+                     arc_frames: int = None) -> List[DepthFrame]:
     """The make_sweep surface observed as ORGANIZED z-depth images.
 
     Each pixel's depth solves ``camera_z - z = surface(world(z))`` by
@@ -209,6 +210,13 @@ def make_depth_sweep(config: FusionConfig,
     so 4 rounds converge far below the u16 quantum), then quantizes to
     u16.  ``points_f32`` is the canonical device dequantization
     ``depth_q.astype(f32) * srays``.
+
+    ``arc_frames`` decouples sweep DENSITY from sweep LENGTH: pose spacing
+    is the fixed arc divided by ``arc_frames`` (default ``n_frames``), so a
+    time-boxed shorter sweep covers a prefix of the nominal-length sweep's
+    arc at the SAME per-frame spacing instead of spreading the frames out
+    (a sparse sweep sees far more fresh surface per refine cadence and blew
+    the replay budgets that the nominal workload fits comfortably).
     """
     rng = np.random.default_rng(seed)
     if srays is None:
@@ -222,10 +230,11 @@ def make_depth_sweep(config: FusionConfig,
     z0 = b[4] + 0.35 * (b[5] - b[4])
     amp = 0.06 * (b[5] - b[4])
     n = width * height
+    denom = max((arc_frames or n_frames) - 1, 1)
 
     frames = []
     for f in range(n_frames):
-        cx = x0 + xr * (0.25 + 0.5 * f / max(n_frames - 1, 1))
+        cx = x0 + xr * (0.25 + 0.5 * f / denom)
         cy = y0
         cz = z0 + camera_height
         pose = _look_down_pose(cx, cy, cz)
