@@ -88,29 +88,34 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # dropped, counted, and the run refused).  The inner REPLAY_TIERS switch
 # on LIVE t_rep keeps small replays on small blocks, so the tall cap
 # costs nothing until a pass actually needs it.
-TINY_BUDGETS = (1 << 14, 1 << 17, 1 << 17, 1 << 22)
-STEADY_BUDGETS = (1 << 15, 1 << 19, 1 << 17, 1 << 22)
-MID_BUDGETS = (1 << 17, 1 << 21, 1 << 19, 1 << 23)
-# TINY covers steady cadences once the sweep mostly revisits known surface:
-# measured live counts on the bench sweep (TPU probe, 2026-08-19) are
-# n_cand 8.8-16.7k and buf_count 77-89k from the second refine on, so
-# (cand 2^14, buf/replay 2^17) fits every pass after f=16; the switch
-# falls through TINY -> STEADY -> MID -> full config budgets.
-REFINE_TIERS = (TINY_BUDGETS, STEADY_BUDGETS, MID_BUDGETS)
-# Inner replay-expansion tiers (ops/refine.py ``replay_tiers``): the
-# replay block additionally lax.switches on the LIVE replayed-point total
-# t_rep (known only mid-pass), so a steady pass whose replay is near-empty
-# runs 2^13 replay lanes instead of the outer tier's 2^19+ budget.  The
-# 2^22 tier covers the FIRST refine (t_rep = 8 frames x 307k pts = 2.46M
-# buffered points, all replayed at once) at half the full 2^23 budget's
-# gather/fill machinery (~240 ms once per sweep, TPU probe 2026-08-19).
-# Rung discipline: each rung instantiates the replay block in EVERY
-# covering outer tier (the 209 MB round-2 refine executable came from
-# too many rungs — its persistent-cache deserialization dominates
-# warm-start, PERF.md §2), so the ladder stays at three: 2^13 for
-# near-empty steady replays, 2^19 for routine fresh-surface cadences
-# (77-89k buffered x ~6 links), 2^22 for heavy passes.
-REPLAY_TIERS = (1 << 13, 1 << 19, 1 << 22)
+# Round-4 ladder discipline: every (outer tier x replay rung) combination
+# compiles its own shape family (~100 s per novel sort/scatter
+# subcomputation on the axon service, PERF.md §2) and lands in the refine
+# executable — round 3 shipped 4 outer instantiations x ~3.5 rungs = 14
+# replay blocks, and the driver's bench run could no longer warm-start
+# inside its 480 s budget (VERDICT r3 missing #2).  The ladder is now TWO
+# outer families x 3 rungs:
+#
+# * TINY covers every steady cadence (measured live counts on the bench
+#   sweep, TPU probe 2026-08-19: n_cand 8.8-16.7k, buf_count 77-89k from
+#   the second refine on — cand 2^15 covers the 16.7k peak that used to
+#   spill into the old STEADY tier).  Its replay cap 2^21 is a PROVEN
+#   bound, not a guess: t_rep <= buf_count * max_dependants
+#   = 2^17 * 12 < 2^21, so a TINY pass can never overflow replay.
+# * MID equals the FULL config budgets exactly, so the tiered dispatch
+#   skips the redundant fallback branch (ops/refine.py) — early
+#   fresh-surface cadences and the worst case share one shape family.
+TINY_BUDGETS = (1 << 15, 1 << 17, 1 << 17, 1 << 21)
+MID_BUDGETS = (1 << 18, 1 << 22, 1 << 19, 1 << 23)
+REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
+# Inner replay-expansion rungs (ops/refine.py ``replay_tiers``): the
+# replay block lax.switches on the LIVE replayed-point total t_rep (known
+# only mid-pass), so a steady pass whose replay is near-empty runs 2^13
+# lanes instead of the outer tier's full budget; 2^19 covers routine
+# fresh-surface cadences (77-89k buffered x ~6 links); heavier passes run
+# the outer tier's own cap (TINY 2^21 / MID 2^23 — the first refine
+# replays 8 frames x 307k = 2.46M buffered points at once).
+REPLAY_TIERS = (1 << 13, 1 << 19)
 # Emission bound for the capped extract: the bench sweep peaks at
 # 262,375 voxels (deterministic: seed-0 sweep); 4.5*2^16 = 294,912
 # leaves 12% margin and sizes the export host fetch at ~13 MB (11
@@ -170,6 +175,13 @@ _T0 = time.monotonic()
 
 def remaining():
     return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _workload_key():
+    """Identifies the measured workload; persisted next to tpu_pts_per_s so
+    a cached number is only compared against runs of the SAME workload."""
+    return (f"{FRAMES}x{POINTS}_b{BATCH}_r{REFINE_EVERY}_{WIRE}_fx{FX:g}"
+            f"_dw{','.join(map(str, DW_TIERS))}")
 
 
 # ----------------------------------------------------------------------
@@ -250,6 +262,7 @@ def save_measured(tpu_notes=None, baseline_notes=None):
     if STATE.tpu_pts_per_s is not None and STATE.tpu_persistable:
         data["tpu_pts_per_s"] = STATE.tpu_pts_per_s
         data["tpu_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        data["tpu_workload"] = _workload_key()
         if tpu_notes:
             data["tpu_notes"] = tpu_notes
     if STATE.base_pts_per_s is not None:
@@ -310,50 +323,77 @@ def bench_config(frames=None):
     ).validate()
 
 
-def make_frames(cfg, n_frames):
+def _sweep_cache_path(n_frames, arc_frames):
+    """ONE site derives the sweep-cache filename (advisor r3: a second
+    copy of this format string in _phases drifted silently)."""
+    return os.path.join(
+        ROOT, f".sweep_cache_{n_frames}x{POINTS}_fx{FX:g}_"
+              f"a{arc_frames}.npz")
+
+
+def make_frames(cfg, n_frames, arc_frames=None, cache_ok=True):
+    """Generate (or disk-load) the synthetic sweep.
+
+    ``arc_frames`` controls pose spacing: the throughput path passes the
+    NOMINAL arc (FRAMES) so a time-boxed shorter sweep is a same-density
+    PREFIX of the nominal workload (a 64-frame spread sweep saw ~1.5x more
+    fresh surface per refine cadence and blew the replay budget,
+    2026-08-20).  Everything else (run_verify's 4-frame parity sweep)
+    defaults to ``n_frames`` so the poses SPREAD across the arc — at
+    arc=FRAMES a 4-frame sweep is a near-stationary camera and stops
+    exercising the fresh-surface path (advisor r3).
+    """
     t0 = time.monotonic()
+    if arc_frames is None:
+        arc_frames = n_frames
     if WIRE == "depth":
         from hifi_fusion_tpu.utils.synthetic import (DepthFrame,
                                                      make_depth_sweep)
         assert POINTS % 640 == 0, "depth wire needs 640-wide frames"
-        # Pose spacing always uses the NOMINAL arc (FRAMES): a time-boxed
-        # shorter sweep is then a same-density PREFIX of the nominal
-        # workload, not a sparser spread of it — a 64-frame spread sweep
-        # saw ~1.5x more fresh surface per refine cadence and blew the
-        # replay budget the nominal sweep fits (overflow_replay 673k,
-        # 2026-08-20).
         # Deterministic (seed-0) => disk-cached: generation is pure NumPy
         # f64 trig at ~0.5 s/frame on this 1-core host (~1 min/sweep);
         # the cache loads in ~2 s and also derisks the end-of-round
         # driver run's generation budget.
-        cache = os.path.join(
-            ROOT, f".sweep_cache_{n_frames}x{POINTS}_fx{FX:g}_"
-                  f"a{FRAMES}.npz")
-        if os.path.exists(cache):
-            with np.load(cache) as z:      # materialize each member ONCE
-                dq, r565 = z["depth_q"], z["rgb565"]
-                pose, count = z["pose"], z["count"]
-            rays = bench_rays()
-            frames = [DepthFrame(depth_q=dq[i], rgb565=r565[i],
-                                 pose=pose[i], count=int(count[i]),
-                                 points_f32=dq[i].astype(
-                                     np.float32)[None, :] * rays)
-                      for i in range(n_frames)]
-            log(f"synthetic sweep ({WIRE}): {n_frames}x{POINTS} pts "
-                f"(cache, {time.monotonic()-t0:.1f}s)")
-            return frames
+        cache = _sweep_cache_path(n_frames, arc_frames)
+        if cache_ok and os.path.exists(cache):
+            try:
+                with np.load(cache) as z:  # materialize each member ONCE
+                    dq, r565 = z["depth_q"], z["rgb565"]
+                    pose, count = z["pose"], z["count"]
+            except Exception as e:
+                # a deadline hard-exit mid-write leaves a truncated npz;
+                # fall through to regeneration (advisor r3, medium)
+                log(f"sweep cache unreadable ({e}); deleting + regenerating")
+                try:
+                    os.remove(cache)
+                except OSError:
+                    pass
+            else:
+                rays = bench_rays()
+                frames = [DepthFrame(depth_q=dq[i], rgb565=r565[i],
+                                     pose=pose[i], count=int(count[i]),
+                                     points_f32=dq[i].astype(
+                                         np.float32)[None, :] * rays)
+                          for i in range(n_frames)]
+                log(f"synthetic sweep ({WIRE}): {n_frames}x{POINTS} pts "
+                    f"(cache, {time.monotonic()-t0:.1f}s)")
+                return frames
         frames = make_depth_sweep(cfg, n_frames, width=640,
                                   height=POINTS // 640, srays=bench_rays(),
                                   seed=0, noise_sd=3e-4, camera_height=0.4,
-                                  arc_frames=FRAMES)
-        try:
-            np.savez(cache,
-                     depth_q=np.stack([f.depth_q for f in frames]),
-                     rgb565=np.stack([f.rgb565 for f in frames]),
-                     pose=np.stack([f.pose for f in frames]),
-                     count=np.asarray([f.count for f in frames]))
-        except Exception as e:
-            log(f"sweep cache write failed (non-fatal): {e}")
+                                  arc_frames=arc_frames)
+        if cache_ok:
+            try:
+                # write-then-rename: the deadline watchdog may os._exit
+                # mid-write; a truncated file must never shadow the cache
+                np.savez(cache + ".tmp.npz",
+                         depth_q=np.stack([f.depth_q for f in frames]),
+                         rgb565=np.stack([f.rgb565 for f in frames]),
+                         pose=np.stack([f.pose for f in frames]),
+                         count=np.asarray([f.count for f in frames]))
+                os.replace(cache + ".tmp.npz", cache)
+            except Exception as e:
+                log(f"sweep cache write failed (non-fatal): {e}")
     else:
         from hifi_fusion_tpu.utils.synthetic import make_sweep
         frames = make_sweep(cfg, n_frames, POINTS, seed=0, noise_sd=3e-4,
@@ -469,14 +509,22 @@ def run_tpu(cfg, frames):
     # floor for the emitted value — but never let a compile-dominated
     # warmup floor SHADOW a real cached steady measurement (2026-08-20:
     # a cold-compile warmup at 0.003 Mpts/s was emitted over the cached
-    # 4.24 because the steady phase errored after the floor was set)
-    if warm_tput > STATE.cached.get("tpu_pts_per_s", 0.0):
+    # 4.24 because the steady phase errored after the floor was set).
+    # The cached number floors ONLY if it measured this same workload
+    # (advisor r3: an incomparable cached config suppressed a legitimately
+    # slower fresh measurement).
+    cached_floor = (STATE.cached.get("tpu_pts_per_s", 0.0)
+                    if STATE.cached.get("tpu_workload",
+                                        _workload_key()) == _workload_key()
+                    else 0.0)
+    if warm_tput > cached_floor:
         STATE.tpu_pts_per_s = warm_tput
 
     # steady state on the full sweep, budget permitting
     n = (len(frames) // BATCH) * BATCH if BATCH > 1 else len(frames)
     if remaining() < 30:
-        log(f"budget nearly gone ({remaining():.0f}s); keeping warmup tput")
+        log(f"budget nearly gone ({remaining():.0f}s); emitting best of "
+            f"warmup tput and any matching cached measurement")
         return
     STATE.tpu_pts_per_s = run_once(n, "steady")
     STATE.tpu_persistable = jax.default_backend() == "tpu"
@@ -689,8 +737,7 @@ def run_verify(n_frames=4):
 
 def _phases():
     cfg = bench_config()
-    if WIRE == "depth" and os.path.exists(os.path.join(
-            ROOT, f".sweep_cache_{FRAMES}x{POINTS}_fx{FX:g}_a{FRAMES}.npz")):
+    if WIRE == "depth" and os.path.exists(_sweep_cache_path(FRAMES, FRAMES)):
         # full nominal sweep is disk-cached (~2 s load): skip the
         # generation-cost probe and the time-boxing entirely
         frames = make_frames(cfg, FRAMES)
@@ -705,9 +752,11 @@ def _phases():
             log(f"baseline phase failed: {type(e).__name__}: {e}")
         return
     gen_budget = max(min(90.0, remaining() * 0.2), 10.0)
-    # measure generation cost on a 2-frame probe, then fit the budget
+    # measure generation cost on a 2-frame probe (cache_ok=False: the probe
+    # must time RAW generation — its own disk cache made every later run
+    # measure a ~0 s load and defeat the time-boxing; advisor r3)
     t0 = time.monotonic()
-    probe = make_frames(cfg, 2)
+    probe = make_frames(cfg, 2, arc_frames=FRAMES, cache_ok=False)
     per_frame = max((time.monotonic() - t0) / 2, 1e-3)
     n_gen = int(min(FRAMES, max(gen_budget / per_frame, 2 * REFINE_EVERY)))
     if n_gen < FRAMES:
@@ -720,7 +769,8 @@ def _phases():
     # into the fused sweep, inflating the first batch's unique-cell union
     # ~36% past every later batch's (device recount 2026-08-19: 204,620
     # vs 150,565) — regenerate the full sweep instead.
-    frames = make_frames(cfg, n_gen) if n_gen > 2 else probe
+    frames = (make_frames(cfg, n_gen, arc_frames=FRAMES)
+              if n_gen > 2 else probe)
     try:
         run_tpu(cfg, frames)
     except Exception as e:

@@ -107,9 +107,19 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         n_cand = jnp.sum(cand_mask_h.astype(jnp.int32))
         corder_h = jnp.argsort(~cand_mask_h, stable=True)
         nbuf = grid.buf_count
-        ix = jnp.int32(len(tiers))          # fallback: full config budgets
-        for i in reversed(range(len(tiers))):
-            cl, bl, rr, _rl = tiers[i]
+        # When the LAST tier already equals the full config budgets, the
+        # fallback branch would instantiate a bit-identical copy of it —
+        # skip it.  Every tier combination compiles its own shape family
+        # (~100 s per novel sort/scatter subcomputation on the axon
+        # service, PERF.md §2) and lands in the executable; the round-2/3
+        # warm-start pathology (209 MB refine executable, driver bench
+        # deadline) was exactly this ladder width.
+        full = (config.max_refine_candidates, config.buffer_capacity,
+                config.max_replay_active, config.max_replay_hits)
+        branches = list(tiers) + ([] if tuple(tiers[-1]) == full else [None])
+        ix = jnp.int32(len(branches) - 1)   # last branch: full budgets
+        for i in reversed(range(len(branches) - 1)):
+            cl, bl, rr, _rl = branches[i]
             fit = (n_cand <= cl) & (nbuf <= min(rr, bl))
             ix = jnp.where(fit, jnp.int32(i), ix)
 
@@ -123,8 +133,7 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
                                         _hoisted=(n_cand, corder_h), **kw)
             return _branch
 
-        return jax.lax.switch(ix, [_mk(t) for t in tiers] + [_mk(None)],
-                              grid)
+        return jax.lax.switch(ix, [_mk(t) for t in branches], grid)
 
     C = config.capacity
     D = config.max_dependants

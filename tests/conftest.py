@@ -33,3 +33,29 @@ if os.environ.get("HIFI_TEST_NO_CACHE") != "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute shard_map/XLA-compile tests, skipped in the "
+        "default stage — run stage 2 with HIFI_HEAVY=1 pytest -m heavy")
+
+
+def pytest_collection_modifyitems(config, items):
+    """CI-style stages (VERDICT r3 #6: the full suite outgrew a 10-minute
+    cold budget on this 1-core host; every distinct jitted program costs
+    seconds-to-minutes of XLA:CPU compile).  Default stage: everything not
+    marked heavy.  Stage 2 (``HIFI_HEAVY=1`` or an explicit ``-m``): the
+    heavy shard_map equivalence suites.  Every heavy test's subject keeps
+    baseline coverage in the default stage (a cheaper mesh/config variant
+    or the driver-run dryrun_multichip parity check)."""
+    if os.environ.get("HIFI_HEAVY") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy stage: run with HIFI_HEAVY=1 (or -m heavy)")
+    for it in items:
+        if "heavy" in it.keywords:
+            it.add_marker(skip)

@@ -38,7 +38,8 @@ def _run(sf, frames, refine_every=2):
     return grid, sf.extract(grid).to_host()
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize(
+    "n_dev", [2, pytest.param(4, marks=pytest.mark.heavy)])
 def test_routed_matches_replicated(n_dev):
     assert len(jax.devices()) >= n_dev, "conftest must set 8 cpu devices"
     frames = _frames()
@@ -63,6 +64,7 @@ def test_routed_matches_replicated(n_dev):
                                atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_routed_matches_single_device():
     frames = _frames(4, 500, seed=7)
     pipe = FusionPipeline(CFG)
@@ -100,6 +102,7 @@ def test_routed_lane_budgets_shrink():
                                                sf4.config.max_points)
 
 
+@pytest.mark.heavy
 def test_routed_concentrated_frames_lossless_at_defaults():
     """A frame whose every point lands in ONE slab (the worst spatial
     concentration) must not drop at the default tier ladder — the beta=n
@@ -129,6 +132,7 @@ def test_routed_concentrated_frames_lossless_at_defaults():
     assert m["occupied_voxels_incl_halo"] > 0
 
 
+@pytest.mark.heavy
 def test_routed_depth_wire_matches_single_device():
     """Sensor-native u16 depth frames through the ROUTED sharded path must
     extract the same cells/counts as the single-chip depth pipeline

@@ -38,6 +38,7 @@ def test_sharded_session_process_exports_pcd_csv(tmp_path):
     assert len(rows) - 1 == n
 
 
+@pytest.mark.heavy
 def test_sharded_session_matches_single_chip_export(tmp_path):
     """The sharded session's export must equal the single-chip session's
     for the same input: same voxels in the same global order with the same
@@ -87,6 +88,7 @@ def test_cli_fuse_sharded_capture(tmp_path):
     assert os.path.exists(out["cloud"])
 
 
+@pytest.mark.heavy
 def test_sharded_session_checkpoint_roundtrip(tmp_path):
     from hifi_fusion_tpu.runtime.capture import load_capture
     from hifi_fusion_tpu.runtime.session import FusionSession

@@ -45,7 +45,8 @@ def _run_sharded(frames, n_dev, refine_every=2):
     return sf, grid, sf.extract(grid).to_host()
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize(
+    "n_dev", [2, pytest.param(8, marks=pytest.mark.heavy)])
 def test_sharded_matches_single(n_dev):
     assert len(jax.devices()) >= n_dev, "conftest must set 8 cpu devices"
     frames = _frames()
@@ -90,6 +91,7 @@ def test_flagship_bbox_1mm_shards_within_int32():
     assert sf.slab_w * 8 >= flagship.global_x_cells
 
 
+@pytest.mark.heavy
 def test_sharded_ghosts_cross_slab_boundary():
     """A surface spanning slab boundaries: dependant lines and ghost voxels
     must behave identically sharded vs single-device (covered by the
@@ -101,6 +103,7 @@ def test_sharded_ghosts_cross_slab_boundary():
     np.testing.assert_array_equal(sharded["count"], single["count"])
 
 
+@pytest.mark.heavy
 def test_sharded_sweep_scan():
     frames = _frames(4, 400, seed=9)
     pts = jnp.asarray(np.stack([f.points_cam for f in frames]))
