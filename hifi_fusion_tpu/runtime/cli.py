@@ -261,7 +261,15 @@ def cmd_serve(args) -> int:
                             n_devices=args.devices, route=args.route,
                             route_betas=args.route_betas,
                             model=args.model,
-                            model_params=_model_params(args))
+                            model_params=_model_params(args),
+                            live_batching=args.live_batching)
+    if args.warm:
+        # load every capture program BEFORE accepting frames: a cold
+        # program on the TPU service costs minutes and a mid-capture
+        # first touch would stall a live sensor past the queue slack
+        print("warming device programs...", flush=True)
+        dt = session.warm(extract=True)
+        print(f"warm in {dt:.1f}s", flush=True)
     with socketserver.ThreadingTCPServer(
             (args.host, args.port), _ControlHandler) as server:
         server.daemon_threads = True
@@ -352,6 +360,15 @@ def main(argv=None) -> int:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=7061)
     sp.add_argument("--output", default=".")
+    sp.add_argument("--warm", action="store_true",
+                    help="preload every capture program before accepting "
+                         "frames (a cold program on the TPU service costs "
+                         "minutes mid-capture)")
+    sp.add_argument("--live-batching", dest="live_batching",
+                    action="store_true",
+                    help="opportunistically batch K queued frames per "
+                         "dispatch during backlogs (never delays a frame); "
+                         "use with --warm")
     sp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -33,7 +33,8 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from bench import BATCH, REFINE_TIERS, bench_config, bench_rays
+    from bench import (BATCH, FRAMES, REFINE_TIERS, bench_config,
+                       bench_rays, make_frames)
     from hifi_fusion_tpu.grid import quick_counts
     from hifi_fusion_tpu.models.pipeline import (FusionPipeline,
                                                  batch_lane_budgets,
@@ -41,7 +42,6 @@ def main():
     from hifi_fusion_tpu.ops import geometry
     from hifi_fusion_tpu.ops.hashing import lookup
     from hifi_fusion_tpu.ops.scatter import rows, segment_starts
-    from hifi_fusion_tpu.utils.synthetic import make_depth_sweep
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     jax.config.update("jax_compilation_cache_dir",
@@ -52,9 +52,10 @@ def main():
     K = BATCH
     n_frames = int(os.environ.get("LANES_FRAMES", 32))
     n_frames = max((n_frames // K) * K, K)
-    frames = make_depth_sweep(cfg, n_frames, 640, cfg.max_points // 640,
-                              srays=bench_rays(), seed=0,
-                              noise_sd=3e-4, camera_height=0.4)
+    # the bench sweep EXACTLY (same-density prefix of the nominal arc,
+    # same disk cache) — a spread arc over n_frames sees ~1.5x more fresh
+    # surface per cadence and reports the wrong live counts
+    frames = make_frames(cfg, n_frames, arc_frames=FRAMES)
     jrays = jnp.asarray(bench_rays())
     pipe = FusionPipeline(cfg)
     grid = pipe.init()
