@@ -1,0 +1,77 @@
+"""TSDF config-5 measurement (BASELINE.json: "TSDF-weighted fusion variant
+at sub-mm pitch with weighted-average integration and surface-voxel
+extraction"; PERF.md §12).
+
+Replays the bench sweep (96 x 640x480 depth frames, the sensor-native
+wire) through a ``FusionSession(model="tsdf")`` at sub-mm pitch and
+reports end-to-end Mpts/s including extraction + PCD/CSV export, with
+zero-overflow assertion — the same protocol as bench.py's flagship
+number, minus refine (TSDF has no normal-refine phase; its surface
+normals come from the TSDF gradient at extraction).
+
+Env: TSDF_RES (0.0008 m), TSDF_FRAMES (96), TSDF_CAP_LOG2 (23).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import dataclasses
+    import tempfile
+
+    import jax
+    from bench import FRAMES, bench_config, bench_rays, make_frames
+    from hifi_fusion_tpu.runtime.session import FusionSession
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    res = float(os.environ.get("TSDF_RES", 0.0008))
+    n = int(os.environ.get("TSDF_FRAMES", 96))
+    cap = int(os.environ.get("TSDF_CAP_LOG2", 23))
+    base = bench_config()
+    frames = make_frames(base, max(n, 2), arc_frames=FRAMES)[:n]
+    cfg = dataclasses.replace(
+        base, resolution=(res, res, res), capacity_log2=cap,
+        refine_every=0).validate()
+    rays = bench_rays()
+    host = [(np.asarray(f.depth_q), np.asarray(f.rgb565),
+             np.asarray(f.pose, np.float32)) for f in frames]
+    pts = base.max_points
+
+    with FusionSession(cfg, output_dir=tempfile.mkdtemp(prefix="tsdf_"),
+                       queue_depth=n + 1, model="tsdf") as sess:
+        t0 = time.monotonic()
+        warm_s = sess.warm(rays=rays)
+        print(f"warm: {warm_s:.1f}s", flush=True)
+        sess.start()
+        t0 = time.monotonic()
+        for dq, r565, pose in host:
+            sess.push_depth_frame(dq, r565, pose, rays=rays)
+        assert sess.drain(timeout=600), "tsdf session failed to drain"
+        r = sess.process(ascii_mode=False)
+        dt = time.monotonic() - t0
+        m = sess.metrics()
+    ovf = {k: v for k, v in r["grid_metrics"].items()
+           if k.startswith("overflow") and v}
+    assert not ovf, f"tsdf overflow: {ovf} — raise TSDF_CAP_LOG2"
+    assert m["frames_integrated"] == n
+    out = {"model": "tsdf", "pitch_mm": res * 1e3, "frames": n,
+           "mpts_per_s": round(n * pts / dt / 1e6, 3),
+           "seconds": round(dt, 2), "surface_voxels": r["n_points"],
+           "warm_s": round(warm_s, 1)}
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
