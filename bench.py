@@ -145,7 +145,10 @@ if BATCH > 1 and WIRE == "q16":
 # pair-machinery work than the old 2^18.  HITS bounds the distinct-OWNER
 # compaction, for which only "zero overflow at 2^18" is known — it stays.
 BATCH_UNIQUE = int(os.environ.get("BENCH_BATCH_UNIQUE", 180224))
-BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 1 << 18))
+# Distinct-owner peak measured 161,021 across the sweep (lane audit,
+# PERF.md §9); 196,608 = 1.5*2^17 carries 22% margin over it, 25% less
+# owner-dedup machinery than the old 2^18.
+BATCH_HITS = int(os.environ.get("BENCH_BATCH_HITS", 196608))
 # Camera focal length for the depth wire (pixels).  Chosen so the sweep's
 # DENSITY matches the q16/f32 sweeps and the round-1 baseline workload:
 # ~95-105k distinct 1 mm cells per 640x480 frame, i.e. ~2 pixels per
@@ -166,8 +169,14 @@ def bench_rays():
 # refine passes, so the choice is exact — a too-narrow pick is
 # impossible).  BENCH_DW=0 disables (always the full-width variant);
 # comma-separated list for multiple tiers (e.g. BENCH_DW=6,8).
+# Default 6: the round-4 lane audit (tools/lane_efficiency.py, PERF.md
+# §9) measured the per-batch live max_dep at exactly 6 on EVERY steady
+# batch of the bench sweep (5 on batch 1, 0 pre-normal) — the old 8-wide
+# tier dispatched 33% more pair-block scan/fill lanes than live fan-in
+# ever used.  A deeper batch (table-wide max was once 9) falls to the
+# full max_dependants branch, exact as always.
 DW_TIERS = tuple(int(x) for x in
-                 os.environ.get("BENCH_DW", "8").split(",") if int(x))
+                 os.environ.get("BENCH_DW", "6").split(",") if int(x))
 STEADY_DW = DW_TIERS or None
 
 _T0 = time.monotonic()
@@ -735,7 +744,35 @@ def run_verify(n_frames=4):
           flush=True)
 
 
+def _kick_device_claim():
+    """Start the TPU session claim NOW, on a side thread, without blocking:
+    the axon service's per-process first-execution grant measured 74-466 s
+    (and one >25 min outage) across otherwise identical warm runs
+    (PERF.md §11) — overlapping it with sweep generation/loading and the
+    native build recovers the host-prep seconds and, crucially, puts the
+    wait ON RECORD (the timing is logged for the driver tail)."""
+    import threading
+
+    if os.environ.get("BENCH_PLATFORM"):
+        return      # smoke runs re-pin the platform in run_tpu; do not
+        #             initialize the axon backend here first
+
+    def _claim():
+        try:
+            import jax
+            import jax.numpy as jnp
+            t0 = time.monotonic()
+            jnp.zeros((8,), jnp.float32).block_until_ready()
+            log(f"axon session init (first device op): "
+                f"{time.monotonic()-t0:.1f}s")
+        except Exception as e:
+            log(f"device claim failed: {type(e).__name__}: {e}")
+
+    threading.Thread(target=_claim, daemon=True, name="claim").start()
+
+
 def _phases():
+    _kick_device_claim()
     cfg = bench_config()
     if WIRE == "depth" and os.path.exists(_sweep_cache_path(FRAMES, FRAMES)):
         # full nominal sweep is disk-cached (~2 s load): skip the

@@ -114,6 +114,17 @@ class FusionSession:
 
         self._grid: GridState = self.pipeline.init()
         self._jrays = None          # device-resident rays (depth ingest)
+        # Device pipeline depth 1: the handle of the previously dispatched
+        # step.  The worker STAGES the next dispatch's arrays (async h->d
+        # transfers) first, then blocks on this handle, then dispatches —
+        # host staging still overlaps device compute, but the device can
+        # never run more than one step behind the host's bookkeeping.
+        # Without this bound every dispatch returned instantly (async),
+        # the input queue never filled, and a live session's metrics
+        # reported the DISPATCH rate as throughput while the real backlog
+        # hid inside the device stream (measured: a 30 Hz paced feed
+        # "sustained 30 f/s" with the device at 8 f/s, max queue 1).
+        self._inflight = None
         # K-frame batched dispatch (ops/integrate.py batched mode): the
         # largest K <= max_batch_frames that DIVIDES refine_every, so a
         # batch can never span a refine mark — batched and single-stepped
@@ -243,6 +254,7 @@ class FusionSession:
             self.drain()
             with self._glock:
                 self._grid = self.pipeline.init()
+                self._inflight = None
 
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
@@ -277,6 +289,11 @@ class FusionSession:
             meta_path = os.path.join(self.output_dir, meta_name)
             with self._glock:
                 grid = self._grid
+                # the worker is drained and gated; anything it left
+                # in-flight completes under the block below, and the
+                # refine/clear re-pointing below would otherwise leave
+                # the handle on donated (deleted) buffers
+                self._inflight = None
                 if self.final_refine and self._needs_final_refine():
                     with self.timers.stage("process_refine"):
                         grid = self.pipeline.refine(grid)
@@ -562,43 +579,58 @@ class FusionSession:
             poses = np.stack([np.asarray(p, np.float32)
                               for _, p in items])
             with self.timers.stage("device_step"), annotate("step"):
+                # stage (starts async h->d copies) BEFORE blocking on the
+                # previous step, so transfers overlap device compute
+                if k == 1:
+                    args = (jnp.asarray(dq[0]), jnp.asarray(r565[0]),
+                            jnp.asarray(counts[0]), jnp.asarray(poses[0]))
+                else:
+                    args = (jnp.asarray(dq), jnp.asarray(r565),
+                            jnp.asarray(counts), jnp.asarray(poses))
+                self._await_inflight()
                 with self._glock:
                     if k == 1:
                         self._grid = self.pipeline.step_depth(
-                            self._grid, jnp.asarray(dq[0]),
-                            jnp.asarray(r565[0]),
-                            jnp.asarray(counts[0]),
-                            jnp.asarray(poses[0]), self._jrays)
+                            self._grid, *args, self._jrays)
                     else:
                         self._grid = self.pipeline.step_batch_depth(
-                            self._grid, jnp.asarray(dq),
-                            jnp.asarray(r565), jnp.asarray(counts),
-                            jnp.asarray(poses), self._jrays)
+                            self._grid, *args, self._jrays)
         else:
             with self.timers.stage("decode"), annotate("decode"):
                 dec = [self._decode_planar(f, cfg) for f, _ in items]
                 poses = np.stack([np.asarray(p, np.float32)
                                   for _, p in items])
             with self.timers.stage("device_step"), annotate("step"):
-                with self._glock:
-                    if k == 1:
-                        p, c, m = dec[0]
-                        self._grid = self.pipeline.step(
-                            self._grid, jnp.asarray(p), jnp.asarray(c),
+                if k == 1:
+                    p, c, m = dec[0]
+                    args = (jnp.asarray(p), jnp.asarray(c),
                             jnp.asarray(m), jnp.asarray(poses[0]))
-                    else:
-                        self._grid = self.pipeline.step_batch(
-                            self._grid,
-                            jnp.asarray(np.stack([d[0] for d in dec])),
+                else:
+                    args = (jnp.asarray(np.stack([d[0] for d in dec])),
                             jnp.asarray(np.stack([d[1] for d in dec])),
                             jnp.asarray(np.stack([d[2] for d in dec])),
                             jnp.asarray(poses))
+                self._await_inflight()
+                with self._glock:
+                    if k == 1:
+                        self._grid = self.pipeline.step(self._grid, *args)
+                    else:
+                        self._grid = self.pipeline.step_batch(
+                            self._grid, *args)
         self._mark_integrated(k)
         if (k > 1 and cfg.refine_every > 0
                 and refine_due(self._frames_integrated, k, cfg)):
             with self.timers.stage("refine"), annotate("refine"):
                 with self._glock:
                     self._grid = self.pipeline.refine(self._grid)
+        with self._glock:
+            self._inflight = self._grid.frames
+
+    def _await_inflight(self) -> None:
+        h, self._inflight = self._inflight, None
+        if h is not None:
+            with self.timers.stage("device_wait"):
+                jax.block_until_ready(h)
 
     def _run(self) -> None:
         while not self._shutdown:
@@ -670,6 +702,7 @@ class FusionSession:
         state = cls(**{f: z[f] for f in cls._fields})
         with self._glock:
             self._grid = self.pipeline.put_state(state)
+            self._inflight = None
 
     def close(self) -> None:
         self._shutdown = True

@@ -38,19 +38,28 @@ def main():
 
     res = float(os.environ.get("TSDF_RES", 0.0008))
     n = int(os.environ.get("TSDF_FRAMES", 96))
-    cap = int(os.environ.get("TSDF_CAP_LOG2", 23))
+    cap = int(os.environ.get("TSDF_CAP_LOG2", 24))
+    # Unique TSDF sample cells per frame at 0.8 mm pitch measured ~1.07M
+    # (a first run's overflow_unique counter: 52.0M over 96 frames against
+    # the old 4*2^17 budget) — samples land ~one cell apart, so the budget
+    # is ~0.4*S*N, nothing like the flagship's ~0.1*N surface uniques.
+    uniq = int(os.environ.get("TSDF_UNIQ", 1 << 19))   # U = 4*uniq = 2^21
+    # sample spacing <= pitch (11 samples across +-4 mm = 0.8 mm) so the
+    # truncation band has no radial gaps at this resolution
+    samples = int(os.environ.get("TSDF_SAMPLES", 11))
     base = bench_config()
     frames = make_frames(base, max(n, 2), arc_frames=FRAMES)[:n]
     cfg = dataclasses.replace(
         base, resolution=(res, res, res), capacity_log2=cap,
-        refine_every=0).validate()
+        max_unique_per_frame=uniq, refine_every=0).validate()
     rays = bench_rays()
     host = [(np.asarray(f.depth_q), np.asarray(f.rgb565),
              np.asarray(f.pose, np.float32)) for f in frames]
     pts = base.max_points
 
     with FusionSession(cfg, output_dir=tempfile.mkdtemp(prefix="tsdf_"),
-                       queue_depth=n + 1, model="tsdf") as sess:
+                       queue_depth=n + 1, model="tsdf",
+                       model_params={"n_samples": samples}) as sess:
         t0 = time.monotonic()
         warm_s = sess.warm(rays=rays)
         print(f"warm: {warm_s:.1f}s", flush=True)
