@@ -120,13 +120,18 @@ def integrate_tsdf_impl(grid: TsdfGrid, points_cam, rgb, mask, pose,
     ], axis=0).reshape(6, M)                                   # (6,M)
 
     # ---- sort all ray samples by cell id; segment-reduce ----------------
+    # ONE payload-carrying sort (the §3 design rule: payloads ride the
+    # sort operands at ~1.5 ns/elem/channel; the old gather-after-argsort
+    # form cost 6 x M latency-bound random gathers)
     skey = jnp.where(valid, ids, _BIG).reshape(-1)             # (M,)
-    order = jnp.argsort(skey, stable=True)
-    sid = skey[order]
+    sorted_ops = jax.lax.sort(
+        (skey,) + tuple(vals6[r] for r in range(6)),
+        num_keys=1, is_stable=True)
+    sid = sorted_ops[0]
     svalid = sid != _BIG
     starts = segment_starts(sid, svalid)
     ends = segment_ends(sid, svalid)
-    sums6 = segment_sums(vals6[:, order], starts)
+    sums6 = segment_sums(jnp.stack(sorted_ops[1:], axis=0), starts)
     n_u = jnp.sum(starts.astype(i32))
     overflow_unique = grid.overflow_unique + jnp.maximum(n_u - U, 0)
 
@@ -136,8 +141,10 @@ def integrate_tsdf_impl(grid: TsdfGrid, points_cam, rgb, mask, pose,
     eorder = jnp.argsort(~ends, stable=True)[:U]
     usums = sums6[:, eorder]                                   # (6,U)
 
+    # uids are sorted-unique by construction (segment starts of a sorted
+    # id stream) -> the canonical-slot redirect pass is skippable
     key_table, uslot, n_failed = hashing.lookup_or_insert(
-        grid.key, uids, uvalid, cfg.max_probes, C)
+        grid.key, uids, uvalid, cfg.max_probes, C, unique_ids=True)
 
     sorder = jnp.argsort(jnp.where(uvalid & (uslot >= 0), uslot, _BIG),
                          stable=True)
@@ -165,26 +172,41 @@ class TsdfExtract(NamedTuple):
     rgb: jax.Array        # (3,C)
 
 
-def extract_tsdf_impl(grid: TsdfGrid, *, config: TsdfConfig) -> TsdfExtract:
+def extract_tsdf_impl(grid: TsdfGrid, *, config: TsdfConfig,
+                      cap=None) -> TsdfExtract:
+    """``cap``: static bound on emitted surface voxels.  The uncapped
+    variant ran its 6-neighbor gradient lookups and stat gathers over ALL
+    ``capacity`` lanes — 144 s of device time at C=2^24 (measured
+    2026-08-21), ~98% of it on empty slots.  With ``cap`` everything past
+    the one id sort runs on the compacted E-lane surface prefix, exactly
+    like the flagship's capped extract (ops/extract.py).  ``n_valid`` is
+    the true count; callers re-run uncapped on truncation."""
     cfg = config.base
     C = cfg.capacity
+    E = min(cap, C) if cap else C
     res = jnp.asarray(cfg.resolution, jnp.float32)
 
-    def row(r, idx):
-        return grid.vstats[idx * 6 + r]
-
-    slots_all = jnp.arange(C, dtype=jnp.int32)
-    w_all = row(0, slots_all)
-    tsdf_all = row(1, slots_all) / jnp.maximum(w_all, 1e-9)
+    # channel reads over the FULL table stream the vstats array once per
+    # channel (strided); everything else below reads E-lane prefixes
+    v2 = jax.lax.slice(grid.vstats, (0,), (6 * C,)).reshape(C, 6)
+    w_all = v2[:, 0]
+    tsdf_all = v2[:, 1] / jnp.maximum(w_all, 1e-9)
     key = grid.key[:C]
     surface = ((key >= 0) & (w_all >= config.min_weight)
                & (jnp.abs(tsdf_all) < config.surface_band * res[0]))
     n_valid = jnp.sum(surface.astype(jnp.int32))
 
+    def row(r, idx):
+        return grid.vstats[idx * 6 + r]
+
     sort_key = jnp.where(surface, key, _BIG)
-    order = jnp.argsort(sort_key)
-    cell = sort_key[order]
-    coords = geometry.id_to_coords(jnp.maximum(cell, 0), cfg)  # (3,C)
+    # one 2-operand sort carries the slot order; both sliced to E lanes
+    cell_f, order_f = jax.lax.sort(
+        (sort_key, jnp.arange(C, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)
+    cell = cell_f[:E]
+    order = order_f[:E]
+    coords = geometry.id_to_coords(jnp.maximum(cell, 0), cfg)  # (3,E)
     center = geometry.cell_center(coords, cfg)
 
     # TSDF gradient by 6-neighbor central differences (hash lookups);
@@ -230,7 +252,7 @@ def extract_tsdf_impl(grid: TsdfGrid, *, config: TsdfConfig) -> TsdfExtract:
 integrate_tsdf = partial(jax.jit, static_argnames=("config",),
                          donate_argnames=("grid",))(integrate_tsdf_impl)
 extract_tsdf = partial(jax.jit,
-                       static_argnames=("config",))(extract_tsdf_impl)
+                       static_argnames=("config", "cap"))(extract_tsdf_impl)
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("grid",))
@@ -269,8 +291,12 @@ class TsdfPipeline:
     def refine(self, grid) -> TsdfGrid:
         return grid
 
-    def extract(self, grid) -> TsdfExtract:
-        return extract_tsdf(grid, config=self.config)
+    def extract(self, grid, cap=None) -> TsdfExtract:
+        """``cap=None`` uses ``base.extract_cap`` (0 = uncapped); the
+        fetch path retries uncapped on truncation (extract_host)."""
+        if cap is None:
+            cap = self.config.base.extract_cap or None
+        return extract_tsdf(grid, config=self.config, cap=cap)
 
     # -- host-facing interface shared with FusionPipeline ----------------
     def extract_host(self, grid, fields=None) -> dict:
@@ -283,7 +309,12 @@ class TsdfPipeline:
         TSDF result has 8 lanes total; subsetting saves nothing."""
         import numpy as np
         from ..io.pcd import _pack_rgb_float
-        h = tsdf_to_host(self.extract(grid))
+        r = self.extract(grid)
+        cap = self.config.base.extract_cap
+        if cap and int(r.n_valid) > cap:
+            # pay the full-width extract rather than truncate
+            r = self.extract(grid, cap=0)
+        h = tsdf_to_host(r)
         n = h["cell"].shape[0]
         return {
             "cell": h["cell"],
@@ -329,6 +360,10 @@ class TsdfPipeline:
 def tsdf_to_host(result: TsdfExtract) -> dict:
     import numpy as np
     n = int(result.n_valid)
+    if n > result.cell.shape[0]:
+        raise RuntimeError(
+            f"tsdf extract cap too small: {n} surface voxels emitted, cap "
+            f"{result.cell.shape[0]} — re-extract with a larger cap")
     return {
         "cell": np.asarray(result.cell[:n]),
         "centroid": np.asarray(result.centroid[:, :n]).T,

@@ -624,13 +624,24 @@ class FusionSession:
                 with self._glock:
                     self._grid = self.pipeline.refine(self._grid)
         with self._glock:
+            # the barrier must be a real d->h FETCH: on the axon TPU
+            # service block_until_ready returns once the step is enqueued,
+            # not executed (PERF.md §3), so a block-based bound still let
+            # the device stream hide the backlog.  The async scalar copy
+            # is issued BEHIND the step and harvested at the next
+            # dispatch — overlapped with the inter-dispatch work, it
+            # costs nothing unless the device is genuinely behind.
             self._inflight = self._grid.frames
+            try:
+                self._inflight.copy_to_host_async()
+            except Exception:
+                pass
 
     def _await_inflight(self) -> None:
         h, self._inflight = self._inflight, None
         if h is not None:
             with self.timers.stage("device_wait"):
-                jax.block_until_ready(h)
+                np.asarray(h)
 
     def _run(self) -> None:
         while not self._shutdown:
@@ -657,9 +668,11 @@ class FusionSession:
             with self._qlock:
                 empty = not self._queue
             if empty and not self._busy:
-                # ensure the last dispatched device step finished
+                # ensure the last dispatched device step finished — via a
+                # real d->h fetch (block_until_ready returns at enqueue
+                # time on the axon service, PERF.md §3)
                 with self._glock:
-                    jax.block_until_ready(self._grid.frames)
+                    np.asarray(self._grid.frames)
                 return True
             time.sleep(0.002)
         return False

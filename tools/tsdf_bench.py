@@ -61,7 +61,7 @@ def main():
                        queue_depth=n + 1, model="tsdf",
                        model_params={"n_samples": samples}) as sess:
         t0 = time.monotonic()
-        warm_s = sess.warm(rays=rays)
+        warm_s = sess.warm(rays=rays, extract=True)
         print(f"warm: {warm_s:.1f}s", flush=True)
         sess.start()
         t0 = time.monotonic()
