@@ -114,17 +114,21 @@ class FusionSession:
 
         self._grid: GridState = self.pipeline.init()
         self._jrays = None          # device-resident rays (depth ingest)
-        # Device pipeline depth 1: the handle of the previously dispatched
-        # step.  The worker STAGES the next dispatch's arrays (async h->d
-        # transfers) first, then blocks on this handle, then dispatches —
-        # host staging still overlaps device compute, but the device can
-        # never run more than one step behind the host's bookkeeping.
-        # Without this bound every dispatch returned instantly (async),
-        # the input queue never filled, and a live session's metrics
-        # reported the DISPATCH rate as throughput while the real backlog
-        # hid inside the device stream (measured: a 30 Hz paced feed
-        # "sustained 30 f/s" with the device at 8 f/s, max queue 1).
-        self._inflight = None
+        # Device pipeline depth 2 (double buffering): handles of the last
+        # two dispatched steps.  The worker STAGES the next dispatch's
+        # arrays (async h->d transfers), then harvests the OLDER handle's
+        # d->h scalar fetch before dispatching — the device always has
+        # one program queued behind the one executing (no inter-dispatch
+        # idle), but can never run more than two steps behind the host's
+        # bookkeeping.  Without a bound every dispatch returned instantly
+        # (async), the input queue never filled, and a live session's
+        # metrics reported the DISPATCH rate as throughput while the real
+        # backlog hid inside the device stream (measured: a 30 Hz paced
+        # feed "sustained 30 f/s" with the device at 8 f/s, max queue 1).
+        # Depth 1 was measured first: the lost dispatch/execute overlap
+        # cost 7% end-to-end (bench 5.13 -> 4.77 Mpts/s); depth 2
+        # restores it.
+        self._inflight = collections.deque()
         # K-frame batched dispatch (ops/integrate.py batched mode): the
         # largest K <= max_batch_frames that DIVIDES refine_every, so a
         # batch can never span a refine mark — batched and single-stepped
@@ -254,7 +258,7 @@ class FusionSession:
             self.drain()
             with self._glock:
                 self._grid = self.pipeline.init()
-                self._inflight = None
+                self._inflight.clear()
 
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
@@ -292,8 +296,8 @@ class FusionSession:
                 # the worker is drained and gated; anything it left
                 # in-flight completes under the block below, and the
                 # refine/clear re-pointing below would otherwise leave
-                # the handle on donated (deleted) buffers
-                self._inflight = None
+                # handles on donated (deleted) buffers
+                self._inflight.clear()
                 if self.final_refine and self._needs_final_refine():
                     with self.timers.stage("process_refine"):
                         grid = self.pipeline.refine(grid)
@@ -628,18 +632,23 @@ class FusionSession:
             # service block_until_ready returns once the step is enqueued,
             # not executed (PERF.md §3), so a block-based bound still let
             # the device stream hide the backlog.  The async scalar copy
-            # is issued BEHIND the step and harvested at the next
-            # dispatch — overlapped with the inter-dispatch work, it
+            # is issued BEHIND the step and harvested two dispatches
+            # later — overlapped with the next dispatch's compute, it
             # costs nothing unless the device is genuinely behind.
-            self._inflight = self._grid.frames
+            # ``+ 0`` gives the handle its OWN buffer: the raw
+            # grid.frames buffer is donated to the NEXT step while the
+            # handle still sits in the depth-2 queue ("Array has been
+            # deleted" without it).
+            h = self._grid.frames + jnp.int32(0)
             try:
-                self._inflight.copy_to_host_async()
+                h.copy_to_host_async()
             except Exception:
                 pass
+            self._inflight.append(h)
 
     def _await_inflight(self) -> None:
-        h, self._inflight = self._inflight, None
-        if h is not None:
+        while len(self._inflight) >= 2:
+            h = self._inflight.popleft()
             with self.timers.stage("device_wait"):
                 np.asarray(h)
 
@@ -715,7 +724,7 @@ class FusionSession:
         state = cls(**{f: z[f] for f in cls._fields})
         with self._glock:
             self._grid = self.pipeline.put_state(state)
-            self._inflight = None
+            self._inflight.clear()
 
     def close(self) -> None:
         self._shutdown = True
