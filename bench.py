@@ -112,17 +112,18 @@ REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
 # replay block lax.switches on the LIVE replayed-point total t_rep (known
 # only mid-pass), so a steady pass whose replay is near-empty runs 2^13
 # lanes instead of the outer tier's full budget; 2^19 covers routine
-# fresh-surface cadences (77-89k buffered x ~6 links); heavier passes run
-# the outer tier's own cap (TINY 2^21 / MID 2^23 — the first refine
-# replays 8 frames x 307k = 2.46M buffered points at once).
-REPLAY_TIERS = (1 << 13, 1 << 19)
+# fresh-surface cadences (77-89k buffered x ~6 links); 2^22 catches the
+# FIRST refine (replays 8 frames x 307k = 2.46M buffered points at once)
+# at half the 2^23 fallback's gather/fill machinery — it instantiates
+# only in MID (TINY's cap is below it), so the ladder stays 3+4 blocks.
+REPLAY_TIERS = (1 << 13, 1 << 19, 1 << 22)
 # Emission bound for the capped extract: the bench sweep peaks at
-# 262,375 voxels (deterministic: seed-0 sweep); 4.5*2^16 = 294,912
-# leaves 12% margin and sizes the export host fetch at ~13 MB (11
-# export lanes x 4 B x cap; ~0.6 s through the ~22 MB/s d->h tunnel).
+# 259,983 voxels (deterministic: the seed-0 sweep, post splice-skew fix);
+# 66*2^12 = 270,336 leaves 4% margin and sizes the export host fetch at
+# ~12 MB (11 export lanes x 4 B x cap through the ~22 MB/s d->h tunnel).
 # On truncation extract_host falls back to the uncapped variant —
 # slower, never wrong.
-EXTRACT_CAP = int(os.environ.get("BENCH_EXTRACT_CAP", 9 << 15))
+EXTRACT_CAP = int(os.environ.get("BENCH_EXTRACT_CAP", 66 << 12))
 # Wire format for host->device frames (BENCH_WIRE): "depth" = sensor-native
 # u16 z-depth + rgb565 (4 B/px, utils/synthetic.DepthFrame — 1.23 MB/frame
 # ~= 33 ms on the 37 MB/s axon tunnel, the 30 Hz sensor cadence), "q16" =

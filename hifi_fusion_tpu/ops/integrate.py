@@ -478,9 +478,21 @@ def integrate_frame_impl(grid: GridState,
     # the batch-live maximum is 6-9 vs the static D=12.
     scale = K if batched else 1
     udep_cnt = grid.dep_count[us]                          # (U,)
+    # Every branch pads its compact per-owner outputs to ONE static width
+    # so the switch carries ~5 MB, not the grid: an earlier form did the
+    # cyl_stats scatter_add INSIDE each branch and returned the updated
+    # array — XLA conditionals cannot alias operands through branches on
+    # TPU, so the 126 MB cyl_stats was COPIED through the switch every
+    # batch (traced at 153 ms/batch = 40% of steady integrate,
+    # 2026-08-21 — the single largest line item).
+    UH_pad = min(hit_lanes if hit_lanes is not None
+                 else scale * config.max_hit_voxels, U * D)
 
     def _pair_block(DW):
-        """The whole dependant-stream path at static width ``DW``."""
+        """The dependant-stream path at static width ``DW``; returns the
+        compacted per-owner 5-channel sums (padded to ``UH_pad`` lanes)
+        and the overflow DELTA — the caller scatters once, outside any
+        switch."""
         M2 = U * DW
         UH = min(hit_lanes if hit_lanes is not None
                  else scale * config.max_hit_voxels, M2)
@@ -504,7 +516,7 @@ def integrate_frame_impl(grid: GridState,
                                           offset)          # (3,UH)
         o_nrows = rows(grid.normal, 3, oso)                # (UH,3)
         uh_lim = jnp.where(n_own > UH, UH - 1, n_own)
-        overflow_hits = grid.overflow_hits + jnp.maximum(n_own - uh_lim, 0)
+        overflow_hits = jnp.maximum(n_own - uh_lim, 0)
         # pairs beyond the dep_width window: impossible when the width
         # came from the per-batch switch (it covers the batch max), live
         # only via an explicit too-narrow ``dep_width=`` (counted, never
@@ -587,9 +599,20 @@ def integrate_frame_impl(grid: GridState,
         e_owner = so_own[eorder2]
         e_ok = jnp.arange(UH, dtype=i32) < uh_lim
         e5 = rsum5[:, eorder2]                             # (5,UH)
-        return (scatter_add(grid.cyl_stats, e_owner, e_ok,
-                            [e5[r] for r in range(5)], C),
-                overflow_hits)
+        pad = UH_pad - UH
+        if pad:
+            e_owner = jnp.pad(e_owner, (0, pad))
+            e_ok = jnp.pad(e_ok, (0, pad))
+            e5 = jnp.pad(e5, ((0, 0), (0, pad)))
+        return e_owner, e_ok, e5, overflow_hits
+
+    def _pair_empty():
+        # pre-normal batches (no cell has dependants yet): the whole
+        # pair machinery — sort, fills, sums — is a no-op; selected
+        # only when bmax == 0
+        return (jnp.zeros((UH_pad,), i32),
+                jnp.zeros((UH_pad,), jnp.bool_),
+                jnp.zeros((5, UH_pad), f32), jnp.int32(0))
 
     if dep_width_tiers:
         tiers_full = ((0,) if dep_width_tiers[0] > 0 else ()) \
@@ -600,20 +623,17 @@ def integrate_frame_impl(grid: GridState,
         ix = jnp.minimum(
             jnp.searchsorted(jnp.asarray(tiers_full, i32), bmax,
                              side="left").astype(i32), len(widths) - 1)
-
-        def _branch(w):
-            if w == 0:
-                # pre-normal batches (no cell has dependants yet): the
-                # whole pair machinery — expansion, sort, fills, sums,
-                # scatter — is a no-op; selected only when bmax == 0
-                return lambda: (grid.cyl_stats, grid.overflow_hits)
-            return partial(_pair_block, w)
-
-        cyl_stats, overflow_hits = jax.lax.switch(
-            ix, [_branch(w) for w in widths])
+        e_owner, e_ok, e5, ovf_h = jax.lax.switch(
+            ix, [_pair_empty if w == 0 else partial(_pair_block, w)
+                 for w in widths])
     else:
-        cyl_stats, overflow_hits = _pair_block(
+        e_owner, e_ok, e5, ovf_h = _pair_block(
             min(dep_width if dep_width is not None else D, D))
+    # ONE scatter outside the switch: cyl_stats aliases the donated grid
+    # in place; only the ~UH_pad-lane compact outputs crossed the branch
+    cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
+                            [e5[r] for r in range(5)], C)
+    overflow_hits = grid.overflow_hits + ovf_h
 
     return grid._replace(
         key=key_table,

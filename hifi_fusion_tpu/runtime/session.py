@@ -342,6 +342,21 @@ class FusionSession:
                 csv_thread = threading.Thread(target=_write_csv,
                                               name="csv-export")
                 csv_thread.start()
+                # metrics on a thread too: its device round-trip (~40-80
+                # ms through the tunnel) hides behind the PCD fetch + CSV
+                # formatting instead of serializing after the export
+                metrics_box = []
+
+                def _metrics():
+                    try:
+                        metrics_box.append(
+                            self.pipeline.grid_metrics(grid))
+                    except Exception as e:
+                        metrics_box.append(e)
+
+                metrics_thread = threading.Thread(target=_metrics,
+                                                  name="metrics")
+                metrics_thread.start()
                 with self.timers.stage("process_extract"):
                     host = fetch(pcd_fields)
                 host["normal"] = csv_host["normal"]
@@ -364,7 +379,10 @@ class FusionSession:
                     if csv_err:
                         raise csv_err[0]
                 with self.timers.stage("process_metrics"):
-                    metrics = self.pipeline.grid_metrics(grid)
+                    metrics_thread.join()
+                    metrics = metrics_box[0]
+                    if isinstance(metrics, Exception):
+                        raise metrics
                 # snapshot-and-destroy, but leak-free by construction
                 # (vs OccupancyGrid::clearVoxels ghost leak, GRID.hpp:167-183)
                 with self.timers.stage("process_clear"):

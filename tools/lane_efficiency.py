@@ -95,6 +95,20 @@ def main():
         dep_u = jnp.where(ok, grid.dep_count[us], 0)
         n_partials = jnp.sum(dep_u)
         max_dep = jnp.max(dep_u)
+        # points-per-cell weighted dep histogram: how many POINT lanes
+        # live in cells of each dep count (the pair block's scan space is
+        # point-lane x dep-width, so this is the stratification payoff).
+        # Segment lengths from start positions: starts are ascending, the
+        # virtual next start after the last live segment is n_live.
+        ucnt = segment_starts(sid, sid != _BIG)
+        n_live = jnp.sum((sid != _BIG).astype(i32))
+        spos = jnp.flatnonzero(ucnt, size=U, fill_value=0)
+        live_u = jnp.arange(U, dtype=i32) < n_unique
+        nxt = jnp.where(jnp.arange(U, dtype=i32) + 1 < n_unique,
+                        jnp.roll(spos, -1), n_live)
+        seg_n = jnp.where(live_u, nxt - spos, 0)  # (U,) pts per unique cell
+        hist = jnp.zeros((13,), i32).at[jnp.clip(dep_u, 0, 12)].add(
+            jnp.where(live_u, seg_n, 0).astype(i32))
         # DISTINCT owners: unique values in the unique cells' dep rows
         D = cfg.max_dependants
         drows = rows(grid.dep, D, us)[:, :DW]              # (U,DW)
@@ -102,7 +116,7 @@ def main():
         dmask = ok[:, None] & (jlane < dep_u[:, None]) & (drows >= 0)
         flat = jnp.sort(jnp.where(dmask, drows, _BIG).reshape(-1))
         n_owners = jnp.sum(segment_starts(flat, flat != _BIG).astype(i32))
-        return n_active, n_unique, n_partials, n_owners, max_dep
+        return n_active, n_unique, n_partials, n_owners, max_dep, hist
 
     done = 0
     print(f"budgets: NA={NA} U={U} partials={U * DW} UH={UH} "
@@ -114,8 +128,9 @@ def main():
         rc = jnp.asarray(np.stack([f.rgb565 for f in fb]))
         cn = jnp.asarray(np.asarray([f.count for f in fb], np.int32))
         ps = jnp.asarray(np.stack([f.pose for f in fb]))
-        na, nu, npart, now, mdep = (int(x) for x in jax.device_get(
-            audit(grid, dq, rc, cn, ps)))
+        *scalars, hist = jax.device_get(audit(grid, dq, rc, cn, ps))
+        na, nu, npart, now, mdep = (int(x) for x in scalars)
+        hist = np.asarray(hist)
         grid = pipe.step_batch_depth(grid, dq, rc, cn, ps, jrays)
         done += K
         qc = None
@@ -134,6 +149,12 @@ def main():
               + (f"  refine: cand {row['cand']} buf {row['buffered']} "
                  f"(tiers {REFINE_TIERS and [t[0] for t in REFINE_TIERS]})"
                  if qc else ""), flush=True)
+        tot = max(int(hist.sum()), 1)
+        cum = np.cumsum(hist) / tot
+        print(f"   pts-weighted dep histogram: "
+              + " ".join(f"{d}:{100*h/tot:.0f}%" for d, h in
+                         enumerate(hist) if h) +
+              f"   cum<=2 {cum[2]:.0%} <=4 {cum[4]:.0%}", flush=True)
     tail = rows_out[len(rows_out) // 2:]
     print(f"steady means: active {np.mean([r['active'] for r in tail]):,.0f}"
           f"  unique {np.mean([r['unique'] for r in tail]):,.0f}"

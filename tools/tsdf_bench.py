@@ -51,7 +51,10 @@ def main():
     frames = make_frames(base, max(n, 2), arc_frames=FRAMES)[:n]
     cfg = dataclasses.replace(
         base, resolution=(res, res, res), capacity_log2=cap,
-        max_unique_per_frame=uniq, refine_every=0).validate()
+        max_unique_per_frame=uniq, refine_every=0,
+        # the TSDF band surface at 0.8 mm (measured 290,298 voxels)
+        # outgrows the flagship's extract cap; keep its own margin
+        extract_cap=9 << 15).validate()
     rays = bench_rays()
     host = [(np.asarray(f.depth_q), np.asarray(f.rgb565),
              np.asarray(f.pose, np.float32)) for f in frames]
