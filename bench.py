@@ -170,14 +170,17 @@ def bench_rays():
 # refine passes, so the choice is exact — a too-narrow pick is
 # impossible).  BENCH_DW=0 disables (always the full-width variant);
 # comma-separated list for multiple tiers (e.g. BENCH_DW=6,8).
-# Default 6: the round-4 lane audit (tools/lane_efficiency.py, PERF.md
-# §9) measured the per-batch live max_dep at exactly 6 on EVERY steady
-# batch of the bench sweep (5 on batch 1, 0 pre-normal) — the old 8-wide
-# tier dispatched 33% more pair-block scan/fill lanes than live fan-in
-# ever used.  A deeper batch (table-wide max was once 9) falls to the
-# full max_dependants branch, exact as always.
+# Default 4 + the stratified residual (ops/integrate.py _resid_block):
+# the round-4 lane audit (tools/lane_efficiency.py, PERF.md §9) measured
+# >=99.9% of POINT lanes in cells with <= 4 dependants (cum<=4 = 100% on
+# every batch; the per-batch max of 6 comes from sparse edge cells) — so
+# the dense (point x dep-lane) scans run 4 wide and the few thousand
+# deeper pairs ride a 2^15-lane compact side path.  Exact by
+# construction; overruns counted in overflow_hits.
 DW_TIERS = tuple(int(x) for x in
-                 os.environ.get("BENCH_DW", "6").split(",") if int(x))
+                 os.environ.get("BENCH_DW", "4").split(",") if int(x))
+RESID_CELLS = int(os.environ.get("BENCH_RESID_CELLS", 1 << 13))
+RESID_PAIRS = int(os.environ.get("BENCH_RESID_PAIRS", 1 << 15))
 STEADY_DW = DW_TIERS or None
 
 _T0 = time.monotonic()
@@ -325,6 +328,8 @@ def bench_config(frames=None):
         # device-side budget tiers + batch lane budgets + extract cap:
         # the session pipeline dispatches these (models/pipeline.py)
         dep_width_tiers=tuple(STEADY_DW or ()),
+        dep_resid_cells=RESID_CELLS if STEADY_DW else 0,
+        dep_resid_pairs=RESID_PAIRS if STEADY_DW else 0,
         refine_tiers=REFINE_TIERS,
         replay_tiers=REPLAY_TIERS,
         extract_cap=EXTRACT_CAP,

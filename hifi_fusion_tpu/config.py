@@ -122,6 +122,18 @@ class FusionConfig:
     # the tiered variants — live counts picked ON DEVICE via lax.switch,
     # zero host round-trips.  () = always the full static budgets.
     dep_width_tiers: Tuple[int, ...] = ()
+    # Stratified dependant residual (ops/integrate.py _resid_block): when
+    # dep_resid_pairs > 0, the pair block's dense (point x dep-lane) scan
+    # space runs at the FIRST dep_width_tiers width only, and lanes
+    # [width, dep_count) of deeper cells go through a compact side path
+    # sized by these budgets — the lane audit measured >=99.9% of point
+    # lanes in cells with <= 4 dependants, so the dense width drops from
+    # the batch max (6) to 4 while a few thousand residual pairs ride a
+    # 2^15-lane replay-style block.  Exact: every (point, lane) pair is
+    # computed exactly once, integer counts stay bit-identical (f32 sums
+    # commute).  Overruns are counted in overflow_hits, never silent.
+    dep_resid_cells: int = 0     # distinct deep cells per batch (RC)
+    dep_resid_pairs: int = 0     # residual pair-point lanes (NR); 0 = off
     refine_tiers: Tuple[Tuple[int, int, int, int], ...] = ()
     # inner replay-expansion tiers (ops/refine.py replay_tiers): the replay
     # block lax.switches on the LIVE replayed-point total, so a steady pass

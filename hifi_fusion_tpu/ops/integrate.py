@@ -487,6 +487,92 @@ def integrate_frame_impl(grid: GridState,
     # 2026-08-21 — the single largest line item).
     UH_pad = min(hit_lanes if hit_lanes is not None
                  else scale * config.max_hit_voxels, U * D)
+    # Stratified residual (config.dep_resid_*): the dense scans run at
+    # the FIRST tier width only; deeper cells' extra lanes ride the
+    # compact side path below.  The lane audit (PERF.md §9) measured
+    # >=99.9% of point lanes in cells with <= 4 dependants, so the dense
+    # width drops from the batch max (6) to 4.
+    resid_on = bool(config.dep_resid_pairs) and bool(dep_width_tiers)
+    NR = config.dep_resid_pairs
+    RC = max(config.dep_resid_cells, 1)
+
+    def _resid_block(DW):
+        """Cylinder streaming for lanes [DW, dep) of cells deeper than
+        ``DW`` — a replay-style compact path (cells compact to RC lanes,
+        their (point, extra-lane) pairs expand into NR static lanes by
+        scatter-at-offset + segment fill; owner constants ride the link
+        records).  Returns per-owner 5-channel sums at NR lanes and the
+        overflow delta; overruns (deep cells beyond RC, pairs beyond NR)
+        are counted, never silent."""
+        DR = D - DW
+        resid = uplaced & (udep_cnt > DW)                   # (U,)
+        rorder = jnp.argsort(~resid, stable=True)[:RC]
+        r_ok_c = resid[rorder]
+        r_slot = jnp.clip(us[rorder], 0, C - 1)
+        r_pstart = uorder[rorder].astype(i32)   # segment start lane
+        r_pcnt = jnp.where(r_ok_c,
+                           jnp.round(esum4[3][rorder]).astype(i32), 0)
+        r_dep = jnp.where(r_ok_c, jnp.minimum(udep_cnt[rorder], D), 0)
+        jl = jnp.arange(DR, dtype=i32)[None, :]             # (1,DR)
+        l_ok = r_ok_c[:, None] & (jl < (r_dep - DW)[:, None])
+        owner_rows = rows(grid.dep, D, r_slot)[:, DW:]      # (RC,DR)
+        l_owner = jnp.where(l_ok, owner_rows, _BIG).reshape(-1)
+        lo = jnp.clip(jnp.where(l_ok, owner_rows, 0), 0, C - 1).reshape(-1)
+        oc = geometry.center_of_ids(key_table[lo], config,
+                                    offset)                 # (3,RL)
+        onr = rows(grid.normal, 3, lo)                      # (RL,3)
+        RL = RC * DR
+        l_cnt = jnp.where(l_ok, r_pcnt[:, None], 0).reshape(-1)
+        l_start = jnp.broadcast_to(r_pstart[:, None],
+                                   (RC, DR)).reshape(-1)
+        lpos = jnp.cumsum(l_cnt)
+        lofs = lpos - l_cnt
+        t_in = lpos[-1]
+        # total residual pairs incl. cells beyond RC — the overflow count
+        t_all = jnp.sum(jnp.where(
+            resid, jnp.round(esum4[3]).astype(i32)
+            * (jnp.minimum(udep_cnt, D) - DW), 0))
+        lok = (l_cnt > 0) & (lofs < NR)
+        zi = jnp.zeros((NR + RL,), i32)
+        zf = jnp.zeros((NR + RL,), f32)
+        markb = scatter_set(jnp.zeros((NR + RL,), jnp.bool_), lofs, lok,
+                            [jnp.ones((RL,), jnp.bool_)], NR)[:NR]
+        fil_i = segment_fill(jnp.stack(
+            [scatter_set(zi, lofs, lok, [l_start], NR)[:NR],
+             scatter_set(zi, lofs, lok, [lofs], NR)[:NR],
+             scatter_set(zi, lofs, lok, [l_owner], NR)[:NR]]), markb)
+        fil_f = segment_fill(jnp.stack(
+            [scatter_set(zf, lofs, lok, [oc[0]], NR)[:NR],
+             scatter_set(zf, lofs, lok, [oc[1]], NR)[:NR],
+             scatter_set(zf, lofs, lok, [oc[2]], NR)[:NR],
+             scatter_set(zf, lofs, lok, [onr[:, 0]], NR)[:NR],
+             scatter_set(zf, lofs, lok, [onr[:, 1]], NR)[:NR],
+             scatter_set(zf, lofs, lok, [onr[:, 2]], NR)[:NR]]), markb)
+        lane = jnp.arange(NR, dtype=i32)
+        rvalid = lane < jnp.minimum(t_in, NR)
+        pidx = jnp.clip(fil_i[0] + (lane - fil_i[1]), 0, NA - 1)
+        r_pt = jnp.stack([world_s[0][pidx], world_s[1][pidx],
+                          world_s[2][pidx]])                # (3,NR)
+        rq = r_pt - fil_f[0:3]
+        rt = jnp.sum(rq * fil_f[3:6], axis=0)
+        rr_ = rq - rt[None, :] * fil_f[3:6]
+        rdist = jnp.sqrt(jnp.sum(rr_ * rr_, axis=0))
+        rhit = rvalid & (rdist < config.cylinder_radius)
+        v5 = jnp.where(rhit[None, :], jnp.stack(
+            [rt, rt * rt, rdist, rdist * rdist,
+             jnp.ones((NR,), f32)], axis=0), 0.0)
+        # reduce by owner: NR is small, so sort + segment sums + masked
+        # end-lane scatter (no compaction needed)
+        srt = jax.lax.sort(
+            (jnp.where(rvalid, fil_i[2], _BIG),) + tuple(
+                v5[r] for r in range(5)), num_keys=1, is_stable=True)
+        so = srt[0]
+        s_ok = so != _BIG
+        rst = segment_starts(so, s_ok)
+        ren = segment_ends(so, s_ok)
+        rs5 = segment_sums(jnp.stack(srt[1:], axis=0), rst)
+        ovf2 = jnp.maximum(t_all - jnp.minimum(t_in, NR), 0)
+        return so, ren, rs5, ovf2
 
     def _pair_block(DW):
         """The dependant-stream path at static width ``DW``; returns the
@@ -517,12 +603,13 @@ def integrate_frame_impl(grid: GridState,
         o_nrows = rows(grid.normal, 3, oso)                # (UH,3)
         uh_lim = jnp.where(n_own > UH, UH - 1, n_own)
         overflow_hits = jnp.maximum(n_own - uh_lim, 0)
-        # pairs beyond the dep_width window: impossible when the width
-        # came from the per-batch switch (it covers the batch max), live
-        # only via an explicit too-narrow ``dep_width=`` (counted, never
-        # silent).  Per-unique placed-point counts (esum4[3]) make this
-        # O(U): sum_points max(dep_cnt-DW,0) groups by cell exactly.
-        if DW < D:
+        # pairs beyond the dep_width window: handled by the residual
+        # side path when enabled (every (point, lane) pair computed
+        # exactly once); otherwise impossible when the width came from
+        # the per-batch switch (it covers the batch max), live only via
+        # an explicit too-narrow ``dep_width=`` (counted, never silent).
+        # Per-unique placed-point counts (esum4[3]) make the count O(U).
+        if DW < D and not resid_on:
             overflow_hits = overflow_hits + jnp.sum(jnp.where(
                 uplaced,
                 jnp.round(esum4[3]).astype(i32)
@@ -606,25 +693,41 @@ def integrate_frame_impl(grid: GridState,
             e5 = jnp.pad(e5, ((0, 0), (0, pad)))
         return e_owner, e_ok, e5, overflow_hits
 
+    out_pad = UH_pad + (NR if resid_on else 0)
+
     def _pair_empty():
         # pre-normal batches (no cell has dependants yet): the whole
         # pair machinery — sort, fills, sums — is a no-op; selected
         # only when bmax == 0
-        return (jnp.zeros((UH_pad,), i32),
-                jnp.zeros((UH_pad,), jnp.bool_),
-                jnp.zeros((5, UH_pad), f32), jnp.int32(0))
+        return (jnp.zeros((out_pad,), i32),
+                jnp.zeros((out_pad,), jnp.bool_),
+                jnp.zeros((5, out_pad), f32), jnp.int32(0))
+
+    def _with_resid(w):
+        def run():
+            eo, ek, e5m, ov = _pair_block(w)
+            ro, rk, r5, ov2 = _resid_block(w)
+            return (jnp.concatenate([eo, ro]),
+                    jnp.concatenate([ek, rk]),
+                    jnp.concatenate([e5m, r5], axis=1),
+                    ov + ov2)
+        return run
 
     if dep_width_tiers:
         tiers_full = ((0,) if dep_width_tiers[0] > 0 else ()) \
             + tuple(dep_width_tiers)
+        # with the residual path every tier width is EXACT at any depth,
+        # so the full-width fallback branch is unnecessary
         widths = list(tiers_full) + (
-            [D] if tiers_full[-1] < D else [])
+            [] if resid_on or tiers_full[-1] >= D else [D])
         bmax = jnp.max(jnp.where(uplaced, udep_cnt, 0))
         ix = jnp.minimum(
             jnp.searchsorted(jnp.asarray(tiers_full, i32), bmax,
                              side="left").astype(i32), len(widths) - 1)
         e_owner, e_ok, e5, ovf_h = jax.lax.switch(
-            ix, [_pair_empty if w == 0 else partial(_pair_block, w)
+            ix, [_pair_empty if w == 0
+                 else (_with_resid(w) if resid_on and w < D
+                       else partial(_pair_block, w))
                  for w in widths])
     else:
         e_owner, e_ok, e5, ovf_h = _pair_block(
