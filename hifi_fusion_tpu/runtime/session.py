@@ -127,7 +127,11 @@ class FusionSession:
         # feed "sustained 30 f/s" with the device at 8 f/s, max queue 1).
         # Depth 1 was measured first: the lost dispatch/execute overlap
         # cost 7% end-to-end (bench 5.13 -> 4.77 Mpts/s); depth 2
-        # restores it.
+        # restores it.  The harvest fetches stay INLINE on the worker: a
+        # dedicated harvester thread was tried (to hide the ~34 ms tunnel
+        # roundtrip per fetch) and collapsed throughput 6.5x (5.39 ->
+        # 0.82 Mpts/s, 2026-08-21) — concurrent d->h fetches and h->d
+        # staging from two threads thrash the single stdio-relay tunnel.
         self._inflight = collections.deque()
         # K-frame batched dispatch (ops/integrate.py batched mode): the
         # largest K <= max_batch_frames that DIVIDES refine_every, so a
@@ -662,9 +666,10 @@ class FusionSession:
                 h.copy_to_host_async()
             except Exception:
                 pass
-            self._inflight.append(h)
+        self._inflight.append(h)
 
     def _await_inflight(self) -> None:
+        """Depth-2 bound: dispatch step k only after step k-2 completed."""
         while len(self._inflight) >= 2:
             h = self._inflight.popleft()
             with self.timers.stage("device_wait"):
