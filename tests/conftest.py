@@ -20,13 +20,16 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent CPU compile cache: the 1-core host pays multi-second XLA:CPU
-# compiles per program and the shard_map suites re-trigger them every
-# process (VERDICT r2 weak #7: the full suite outgrew a 10-minute budget).
-# AOT-cached programs reload in ms across pytest processes.
-# HIFI_TEST_NO_CACHE=1 disables it (crash triage: a poisoned cache entry
-# reproduces only with the cache on).
-if os.environ.get("HIFI_TEST_NO_CACHE") != "1":
+# Persistent CPU compile cache: OPT-IN (HIFI_TEST_CACHE=1).  It was the
+# default for two rounds, but XLA:CPU's AOT loader on this host
+# nondeterministically SIGABRTs while deserializing entries the same
+# process wrote minutes earlier (reproduced 3x at tests/
+# test_tiered_dispatch.py through compilation_cache.get_executable_and_
+# time, including with a freshly wiped cache — the loader's machine-
+# feature strictness, see the TF_CPP note above).  A suite that aborts
+# the interpreter is worse than a slow one; with the cache off, the
+# in-process jit cache still dedupes within a run.
+if os.environ.get("HIFI_TEST_CACHE") == "1":
     _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_repo, ".jax_cache_cpu"))
