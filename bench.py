@@ -622,7 +622,9 @@ def run_verify(n_frames=4):
     frames = make_frames(cfg, n_frames)
     # the production ingest format (depth/q16 wire): the device consumes
     # the packed frame, the oracle the IDENTICAL dequantized f32 points —
-    # the parity claim covers the whole wire path
+    # the parity claim covers the whole wire path.  dep_width_tiers is
+    # passed through so --verify checks the PRODUCTION pair block
+    # (stratified width-4 + residual), not the full-width variant
     if WIRE == "depth":
         jrays = jnp.asarray(bench_rays())
         wire_frames = frames
@@ -664,22 +666,23 @@ def run_verify(n_frames=4):
                     rgbp[0, :n] = (r >> 16) & 0xFF
                     rgbp[1, :n] = (r >> 8) & 0xFF
                     rgbp[2, :n] = r & 0xFF
-                grid = integrate_frame(grid, jnp.asarray(pts),
-                                       jnp.asarray(rgbp),
-                                       jnp.asarray(mask),
-                                       jnp.asarray(wf.pose), config=cfg)
+                grid = integrate_frame(
+                    grid, jnp.asarray(pts), jnp.asarray(rgbp),
+                    jnp.asarray(mask), jnp.asarray(wf.pose), config=cfg,
+                    dep_width_tiers=cfg.dep_width_tiers)
             elif WIRE == "depth":
-                grid = integrate_frame(grid, jnp.asarray(wf.depth_q),
-                                       jnp.asarray(wf.rgb565),
-                                       jnp.asarray(np.int32(wf.count)),
-                                       jnp.asarray(wf.pose), config=cfg,
-                                       rays=jrays)
+                grid = integrate_frame(
+                    grid, jnp.asarray(wf.depth_q), jnp.asarray(wf.rgb565),
+                    jnp.asarray(np.int32(wf.count)),
+                    jnp.asarray(wf.pose), config=cfg, rays=jrays,
+                    dep_width_tiers=cfg.dep_width_tiers)
             else:
-                grid = integrate_frame(grid, jnp.asarray(wf.points_q),
-                                       jnp.asarray(wf.rgb_u32),
-                                       jnp.asarray(np.int32(wf.count)),
-                                       jnp.asarray(wf.pose), config=cfg,
-                                       quant=jnp.asarray(wf.quant))
+                grid = integrate_frame(
+                    grid, jnp.asarray(wf.points_q), jnp.asarray(wf.rgb_u32),
+                    jnp.asarray(np.int32(wf.count)),
+                    jnp.asarray(wf.pose), config=cfg,
+                    quant=jnp.asarray(wf.quant),
+                    dep_width_tiers=cfg.dep_width_tiers)
             if (i + 1) % 2 == 0:
                 grid = pipe.refine(grid)
         return pipe.refine(grid)
