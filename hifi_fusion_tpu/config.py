@@ -194,13 +194,18 @@ class FusionConfig:
     def scatter_tail(self) -> int:
         """Scratch-tail slots appended to every scatter-target grid array;
         must cover the largest masked-scatter batch (ops/scatter.py),
-        including the direct per-hit-lane cylinder scatter (H lanes)."""
+        including the direct per-hit-lane cylinder scatter (H lanes).
+        The stratified-residual cyl_stats scatter is a SEPARATE call from
+        the dense one (ops/integrate.py — duplicate owners across the two
+        streams forbid concatenating them), so dep_resid_pairs needs only
+        its own lane count covered, not added to the hit-lane term."""
         return max(self.max_points,
                    self.n_line * self.max_refine_candidates,
                    self.max_batch_frames * self.max_unique_per_frame,
                    self.max_batch_frames * self.max_hit_voxels,
                    min(self.max_replay_active, self.buffer_capacity),
-                   self.max_replay_hits // 4)
+                   self.max_replay_hits // 4,
+                   self.dep_resid_pairs)
 
     @property
     def n_occ_words(self) -> int:

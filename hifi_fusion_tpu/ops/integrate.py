@@ -693,24 +693,41 @@ def integrate_frame_impl(grid: GridState,
             e5 = jnp.pad(e5, ((0, 0), (0, pad)))
         return e_owner, e_ok, e5, overflow_hits
 
-    out_pad = UH_pad + (NR if resid_on else 0)
+    # Dense and residual per-owner sums stay SEPARATE through the switch
+    # and scatter in two calls below: the same owner cell can legitimately
+    # be a dep lane j < DW of one cell (dense) and lane j >= DW of a
+    # deeper cell (residual), so one concatenated scatter would carry
+    # duplicate indices — undefined behavior under unique_indices=True on
+    # backends that honor the hint (advisor r4, high).  Two sequential
+    # unique-index scatters compose exactly regardless of overlap.
+    def _zeros_resid():
+        return (jnp.zeros((NR,), i32), jnp.zeros((NR,), jnp.bool_),
+                jnp.zeros((5, NR), f32))
 
     def _pair_empty():
         # pre-normal batches (no cell has dependants yet): the whole
         # pair machinery — sort, fills, sums — is a no-op; selected
         # only when bmax == 0
-        return (jnp.zeros((out_pad,), i32),
-                jnp.zeros((out_pad,), jnp.bool_),
-                jnp.zeros((5, out_pad), f32), jnp.int32(0))
+        dense = (jnp.zeros((UH_pad,), i32),
+                 jnp.zeros((UH_pad,), jnp.bool_),
+                 jnp.zeros((5, UH_pad), f32))
+        return dense + (_zeros_resid() if resid_on else ()) + (jnp.int32(0),)
 
     def _with_resid(w):
         def run():
             eo, ek, e5m, ov = _pair_block(w)
             ro, rk, r5, ov2 = _resid_block(w)
-            return (jnp.concatenate([eo, ro]),
-                    jnp.concatenate([ek, rk]),
-                    jnp.concatenate([e5m, r5], axis=1),
-                    ov + ov2)
+            return (eo, ek, e5m, ro, rk, r5, ov + ov2)
+        return run
+
+    def _dense_only(w):
+        # full-width tier (w == D): no residual lanes exist, but when
+        # resid_on every branch must return matching shapes (advisor r4,
+        # medium — a tier equal to D previously crashed at trace time)
+        def run():
+            eo, ek, e5m, ov = _pair_block(w)
+            return (eo, ek, e5m) + (_zeros_resid() if resid_on else ()) \
+                + (ov,)
         return run
 
     if dep_width_tiers:
@@ -724,18 +741,25 @@ def integrate_frame_impl(grid: GridState,
         ix = jnp.minimum(
             jnp.searchsorted(jnp.asarray(tiers_full, i32), bmax,
                              side="left").astype(i32), len(widths) - 1)
-        e_owner, e_ok, e5, ovf_h = jax.lax.switch(
+        out = jax.lax.switch(
             ix, [_pair_empty if w == 0
                  else (_with_resid(w) if resid_on and w < D
-                       else partial(_pair_block, w))
+                       else _dense_only(w))
                  for w in widths])
     else:
-        e_owner, e_ok, e5, ovf_h = _pair_block(
-            min(dep_width if dep_width is not None else D, D))
-    # ONE scatter outside the switch: cyl_stats aliases the donated grid
-    # in place; only the ~UH_pad-lane compact outputs crossed the branch
+        out = _dense_only(
+            min(dep_width if dep_width is not None else D, D))()
+    # TWO scatters outside the switch: cyl_stats aliases the donated grid
+    # in place; only the compact per-owner outputs crossed the branch
+    if resid_on:
+        e_owner, e_ok, e5, r_owner, r_ok, r5, ovf_h = out
+    else:
+        e_owner, e_ok, e5, ovf_h = out
     cyl_stats = scatter_add(grid.cyl_stats, e_owner, e_ok,
                             [e5[r] for r in range(5)], C)
+    if resid_on:
+        cyl_stats = scatter_add(cyl_stats, r_owner, r_ok,
+                                [r5[r] for r in range(5)], C)
     overflow_hits = grid.overflow_hits + ovf_h
 
     return grid._replace(

@@ -268,7 +268,10 @@ def cmd_serve(args) -> int:
         # program on the TPU service costs minutes and a mid-capture
         # first touch would stall a live sensor past the queue slack
         print("warming device programs...", flush=True)
-        dt = session.warm(extract=True)
+        # depth=True: the sensor-native depth wire is the hot path for a
+        # live serve session — warm its programs with a throwaway zero
+        # ray table too (shape-keyed; the real rays arrive per-frame)
+        dt = session.warm(extract=True, depth=True)
         print(f"warm in {dt:.1f}s", flush=True)
     with socketserver.ThreadingTCPServer(
             (args.host, args.port), _ControlHandler) as server:

@@ -190,7 +190,7 @@ class FusionSession:
     # control plane (Trigger-service equivalents)
     # ------------------------------------------------------------------
     def warm(self, rays: Optional[np.ndarray] = None,
-             extract: bool = False) -> float:
+             extract: bool = False, depth: bool = False) -> float:
         """Compile/load every device program a capture will dispatch,
         BEFORE frames arrive (VERDICT r3 #4: on the TPU service a cold
         program costs minutes — a mid-capture first touch stalls a live
@@ -215,11 +215,21 @@ class FusionSession:
         zm = jnp.zeros((N,), bool)
         jpose = jnp.asarray(pose)
         g = self.pipeline.step(g, zp, zp, zm, jpose)
-        if self._jrays is not None:
+        # Depth-wire programs are shape-keyed, not value-keyed: with
+        # ``depth=True`` a zero (3, N) ray table warms step_depth/
+        # step_batch_depth even when the real rays arrive later (advisor
+        # r4, low — cli serve --warm previously left the live hot path
+        # cold).  The throwaway table is NOT pinned as the session's
+        # rays; planar-only sessions keep depth=False and skip the
+        # minutes-long extra loads.
+        jrays = self._jrays
+        if jrays is None and depth and hasattr(self.pipeline, "step_depth"):
+            jrays = jnp.zeros((3, N), jnp.float32)
+        if jrays is not None:
             zd = jnp.zeros((N,), jnp.uint16)
             g = self.pipeline.step_depth(g, zd, zd,
                                          jnp.asarray(np.int32(0)),
-                                         jpose, self._jrays)
+                                         jpose, jrays)
         if self._kb > 1:
             K = self._kb
             poses = jnp.broadcast_to(jpose, (K, 4, 4))
@@ -227,11 +237,11 @@ class FusionSession:
                 g, jnp.zeros((K, 3, N), jnp.float32),
                 jnp.zeros((K, 3, N), jnp.float32),
                 jnp.zeros((K, N), bool), poses)
-            if self._jrays is not None:
+            if jrays is not None:
                 zdk = jnp.zeros((K, N), jnp.uint16)
                 g = self.pipeline.step_batch_depth(
                     g, zdk, zdk, jnp.zeros((K,), jnp.int32), poses,
-                    self._jrays)
+                    jrays)
         if cfg.refine_every > 0 and hasattr(self.pipeline, "refine"):
             g = self.pipeline.refine(g)
         if extract:
