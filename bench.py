@@ -206,6 +206,8 @@ class State:
     base_pts_per_s = None
     cached = {}                # previously committed measurements
     emitted = False
+    dev_extract = None         # steady run's extraction (host arrays) for
+    steady_frames = None       # the full-sweep parity check
 
 
 STATE = State()
@@ -477,7 +479,7 @@ def run_tpu(cfg, frames):
     log(f"wire={WIRE}, {per_frame_bytes/1e6:.2f} MB/frame, batch={BATCH}, "
         f"output -> {out_dir}")
 
-    def run_once(n_frames, tag):
+    def run_once(n_frames, tag, keep_extract=False):
         n_frames = max((n_frames // BATCH) * BATCH, BATCH)
         with FusionSession(cfg, output_dir=out_dir,
                            queue_depth=n_frames + BATCH,
@@ -490,10 +492,20 @@ def run_tpu(cfg, frames):
             if not sess.drain(timeout=max(remaining() - 25, 30)):
                 raise RuntimeError(f"{tag}: session failed to drain")
             tx = time.monotonic()
-            result = sess.process(ascii_mode=False)
+            # keep_extract: hand the extraction lanes back as host arrays
+            # for the full-sweep parity check (run_parity_baseline).  All
+            # five lanes are already on host from the export waves, so
+            # this adds no tunnel traffic to the timed region.
+            result = sess.process(
+                ascii_mode=False,
+                extra_fields=(("cell", "count", "centroid", "normal",
+                               "mean_dist") if keep_extract else ()))
             dt = time.monotonic() - t0
             t_proc = time.monotonic() - tx
             sm = sess.metrics()
+        if keep_extract:
+            STATE.dev_extract = result["host"]
+            STATE.steady_frames = n_frames
         m = result["grid_metrics"]
         n_vox = result["n_points"]
         ovf = {k: v for k, v in m.items() if k.startswith("overflow")}
@@ -541,7 +553,7 @@ def run_tpu(cfg, frames):
         log(f"budget nearly gone ({remaining():.0f}s); emitting best of "
             f"warmup tput and any matching cached measurement")
         return
-    STATE.tpu_pts_per_s = run_once(n, "steady")
+    STATE.tpu_pts_per_s = run_once(n, "steady", keep_extract=True)
     STATE.tpu_persistable = jax.default_backend() == "tpu"
     save_measured(tpu_notes=(
         f"bench.py -> FusionSession (the product path) on "
@@ -557,8 +569,17 @@ def run_tpu(cfg, frames):
 
 
 def run_baseline(cfg, frames):
-    """Time-boxed single-threaded C++ oracle; extrapolates pts/s from
-    completed frames (early frames are its fastest => conservative)."""
+    """Time-boxed single-threaded C++ oracle over the SAME sweep the steady
+    phase fused — the denominator AND the identity check in one run.
+
+    When the oracle completes every frame the steady session integrated
+    (same frames, same refine cadence), its extraction is compared against
+    the session's own (stashed in STATE.dev_extract) and a second JSON
+    line ``{"verify": ...}`` is printed before the throughput line — the
+    driver artifact then records fast AND identical together (VERDICT r4
+    missing #3).  If the budget cuts the oracle short, pts/s extrapolates
+    from completed frames (early frames are its fastest => conservative)
+    and the parity compare is skipped (partial grids are incomparable)."""
     from hifi_fusion_tpu.oracle import native as oracle_native
     if not oracle_native.available():
         from hifi_fusion_tpu.runtime import native as rt_native
@@ -570,23 +591,31 @@ def run_baseline(cfg, frames):
     if budget < 5:
         log(f"no budget left for baseline ({remaining():.0f}s remaining)")
         return
+    # the parity target: exactly the frames the steady session fused,
+    # at exactly its cadence — the session refines after the K-frame
+    # batch containing a refine mark (models/pipeline.refine_due), and
+    # process() adds a final refine only when the count isn't on a mark
+    from hifi_fusion_tpu.models.pipeline import refine_due
+    n_target = STATE.steady_frames or max(len(frames) // 2, 10)
+    step = BATCH if STATE.steady_frames else 1
     cc = oracle_native.NativeOracle(cfg)
     t0 = time.monotonic()
     done = 0
-    for i, fr in enumerate(frames):
+    for i in range(n_target):
+        fr = frames[i % len(frames)]
         cc.integrate_frame(baseline_points(fr), None, fr.pose)
         done += 1
-        if (i + 1) % REFINE_EVERY == 0:
+        if done % step == 0 and refine_due(done, step, cfg):
             cc.refine()
         if time.monotonic() - t0 > budget:
             break
-    if done == len(frames):
+    if done == n_target and not refine_due(n_target, 1, cfg):
         cc.refine()
     dt = time.monotonic() - t0
     pts_per_s = done * POINTS / dt
-    log(f"c++ oracle baseline: {done}/{len(frames)} frames in {dt:.2f}s  "
+    log(f"c++ oracle baseline: {done}/{n_target} frames in {dt:.2f}s  "
         f"{done/dt:.2f} frames/s  {pts_per_s/1e6:.2f} Mpts/s"
-        + ("" if done == len(frames) else "  (extrapolated)"))
+        + ("" if done == n_target else "  (extrapolated)"))
     STATE.base_pts_per_s = pts_per_s
     save_measured(baseline_notes=(
         f"C++ oracle (oracle_native.cpp), single-threaded, {done} frames x "
@@ -595,6 +624,66 @@ def run_baseline(cfg, frames):
         f"are the oracle's fastest (grid fills), so partial-sweep averages "
         f"are GENEROUS denominators. save_measured keeps the historical "
         f"max (the one-core host makes contended runs understate it)."))
+    if done == n_target and STATE.dev_extract is not None:
+        try:
+            _parity_compare(cc, done)
+        except Exception as e:
+            log(f"parity compare failed: {type(e).__name__}: {e}")
+            print(json.dumps({"verify": "error",
+                              "reason": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
+def _parity_compare(cc, n_frames):
+    """Steady-session extraction vs the full-sweep C++ oracle.
+
+    Tolerances are run_verify's, plus the multichip dryrun's set-level
+    allowance: cross-compiler f32 noise (XLA vs g++ reduction orders)
+    flips borderline cylinder gates / refine line cells — measured 0.018%
+    count mismatches and zero set diffs at 4 frames; at 96 frames a
+    handful of single-point line cells may flip sides.  Anything past
+    0.1% means a real bug."""
+    dev = STATE.dev_extract
+    orc = cc.extract(cap=1 << 22)
+    dev_cells = dev["cell"].astype(np.int64)
+    n_vox = int(dev_cells.size)
+    common, ia, ib = np.intersect1d(dev_cells, orc["cell"],
+                                    return_indices=True)
+    sym = (n_vox - common.size) + (int(orc["cell"].size) - common.size)
+    problems = []
+    if sym > max(8, n_vox // 1000):
+        problems.append(f"cell sets diverge: sym_diff {sym} of {n_vox}")
+    dc = dev["count"][ia].astype(np.int64)
+    oc = orc["count"][ib].astype(np.int64)
+    mism = int((dc != oc).sum())
+    frac = mism / max(common.size, 1)
+    if frac > 1e-3:
+        problems.append(f"count mismatch on {mism}/{common.size} voxels")
+    total_rel = abs(int(dc.sum()) - int(oc.sum())) / max(int(oc.sum()), 1)
+    if total_rel > 1e-4:
+        problems.append(f"total cylinder-count diff {total_rel:.2e}")
+    dots = np.sum(dev["normal"][ia].astype(np.float64)
+                  * orc["normal"][ib], axis=1)
+    nfrac = float(np.mean(dots <= 0.999)) if common.size else 0.0
+    if nfrac > 1e-3:
+        problems.append(f"normal mismatch on {nfrac:.2%} of voxels")
+    ok = (dc == oc) & (dots > 0.999)
+    cdiff = np.abs(dev["centroid"][ia][ok] - orc["centroid"][ib][ok])
+    if cdiff.size and (np.mean(cdiff > 2e-5) > 1e-4
+                       or cdiff.max() >= 1e-3):
+        problems.append(f"centroid deviation (max {cdiff.max():.2e} m)")
+    ddiff = np.abs(dev["mean_dist"][ia][ok] - orc["mean_dist"][ib][ok])
+    if ddiff.size and (np.mean(ddiff > 5e-6) > 1e-4
+                       or ddiff.max() >= 5e-4):
+        problems.append(f"mean_dist deviation (max {ddiff.max():.2e} m)")
+    out = {"verify": "ok" if not problems else "fail",
+           "n_voxels": n_vox, "frames": n_frames, "sym_diff": sym,
+           "count_mismatch_frac": round(frac, 6),
+           "cyl_hits": int(dc.sum())}
+    if problems:
+        out["reasons"] = problems
+    log(f"full-sweep parity vs C++ oracle: {out}")
+    print(json.dumps(out), flush=True)
 
 
 # ----------------------------------------------------------------------
@@ -793,7 +882,7 @@ def _phases():
             log(f"TPU phase failed: {type(e).__name__}: {e}")
         try:
             if remaining() > 20:
-                run_baseline(cfg, frames[:max(len(frames) // 2, 10)])
+                run_baseline(cfg, frames)
         except Exception as e:
             log(f"baseline phase failed: {type(e).__name__}: {e}")
         return
@@ -823,7 +912,7 @@ def _phases():
         log(f"TPU phase failed: {type(e).__name__}: {e}")
     try:
         if remaining() > 20:
-            run_baseline(cfg, frames[:max(len(frames) // 2, 10)])
+            run_baseline(cfg, frames)
     except Exception as e:
         log(f"baseline phase failed: {type(e).__name__}: {e}")
 

@@ -55,6 +55,24 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hf_oracle_n_voxels.restype = i64
     lib.hf_oracle_destroy.argtypes = [ctypes.c_void_p]
     lib.hf_oracle_destroy.restype = None
+    # TSDF variant oracle (BASELINE config 5 denominator) — older .so
+    # builds lack it; gate on presence so a stale library still serves
+    # the flagship oracle
+    if hasattr(lib, "hf_tsdf_create"):
+        lib.hf_tsdf_create.argtypes = [f64p, f32p, ctypes.c_float,
+                                       ctypes.c_float, ctypes.c_float,
+                                       ctypes.c_int, i64p]
+        lib.hf_tsdf_create.restype = ctypes.c_void_p
+        lib.hf_tsdf_add_frame.argtypes = [ctypes.c_void_p, f32p, i64, f32p]
+        lib.hf_tsdf_add_frame.restype = None
+        lib.hf_tsdf_extract.argtypes = [ctypes.c_void_p, ctypes.c_float,
+                                        ctypes.c_float, i64p, f32p, f32p,
+                                        i64]
+        lib.hf_tsdf_extract.restype = i64
+        lib.hf_tsdf_n_cells.argtypes = [ctypes.c_void_p]
+        lib.hf_tsdf_n_cells.restype = i64
+        lib.hf_tsdf_destroy.argtypes = [ctypes.c_void_p]
+        lib.hf_tsdf_destroy.restype = None
     _lib = lib
     return _lib
 
@@ -129,6 +147,66 @@ class NativeOracle:
         try:
             if getattr(self, "_h", None):
                 self._lib.hf_oracle_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+def tsdf_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "hf_tsdf_create")
+
+
+class NativeTsdfOracle:
+    """Single-threaded C++ TSDF band integrator — the BASELINE config-5
+    denominator (PERF.md §12).  Mirrors oracle/tsdf_oracle.py's semantics
+    (geometry path; color accumulation omitted, as in the flagship
+    baseline timing)."""
+
+    def __init__(self, tsdf_config):
+        lib = _load()
+        if lib is None or not hasattr(lib, "hf_tsdf_create"):
+            raise RuntimeError(
+                "liboracle_native.so missing the TSDF oracle; rebuild with "
+                "`make` in hifi_fusion_tpu/runtime/native")
+        self._lib = lib
+        self.cfg = tsdf_config
+        base = tsdf_config.base
+        bbox = np.asarray(base.bbox, np.float64)
+        res = np.asarray(base.resolution, np.float32)
+        dims = np.asarray(base.dims, np.int64)
+        self._h = lib.hf_tsdf_create(
+            bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            _f32p(res), base.z_clip[0], base.z_clip[1],
+            tsdf_config.truncation, tsdf_config.n_samples,
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+
+    def integrate_frame(self, points_cam: np.ndarray,
+                        pose: np.ndarray) -> None:
+        pts = np.ascontiguousarray(points_cam, np.float32)
+        pose = np.ascontiguousarray(pose, np.float32)
+        self._lib.hf_tsdf_add_frame(self._h, _f32p(pts), pts.shape[0],
+                                    _f32p(pose))
+
+    def n_cells(self) -> int:
+        return int(self._lib.hf_tsdf_n_cells(self._h))
+
+    def extract(self, cap: int = 1 << 22) -> Dict[str, np.ndarray]:
+        cell = np.empty(cap, np.int64)
+        tsdf = np.empty(cap, np.float32)
+        weight = np.empty(cap, np.float32)
+        n = int(self._lib.hf_tsdf_extract(
+            self._h, self.cfg.min_weight, self.cfg.surface_band,
+            cell.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _f32p(tsdf), _f32p(weight), cap))
+        n = min(n, cap)
+        return {"cell": cell[:n].copy(), "tsdf": tsdf[:n].copy(),
+                "weight": weight[:n].copy()}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.hf_tsdf_destroy(self._h)
                 self._h = None
         except Exception:
             pass

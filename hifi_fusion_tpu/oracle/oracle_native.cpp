@@ -378,9 +378,129 @@ struct Oracle {
   }
 };
 
+// ---------------------------------------------------------------------
+// TSDF variant oracle (BASELINE config 5 denominator; PERF.md §12).
+//
+// Single-threaded restatement of the TSDF band-integration semantics
+// (models/tsdf.py, oracle/tsdf_oracle.py): per valid camera point, S
+// samples at centered-integer offsets spanning [-tau, tau] along the
+// unit viewpoint->point ray; each in-bounds sample's voxel accumulates
+// (w += 1, wsdf += -s).  Surface extraction keeps voxels with
+// w >= min_weight and |wsdf/w| < band * res_x.  Color accumulation is
+// omitted — the flagship baseline (Oracle::add_frame above) also times
+// the geometry path with rgb dropped, so the two denominators price the
+// same work.  f32 arithmetic in the device kernel's operation order.
+struct TsdfCell {
+  float w = 0.0f, wsdf = 0.0f;
+};
+
+struct TsdfOracleN {
+  double bbox[6];
+  float res[3];
+  float zmin, zmax, trunc;
+  int n_samples;
+  int64_t dims[3];
+  std::unordered_map<int64_t, TsdfCell> map;
+
+  void add_frame(const float* pts, int64_t n, const float* pose) {
+    const int S = n_samples;
+    const float step = (float)(2.0 * (double)trunc / (double)(S - 1));
+    std::vector<float> svals((size_t)S);
+    for (int j = 0; j < S; ++j)
+      svals[(size_t)j] = ((float)j - (float)((S - 1) / 2.0)) * step;
+    const float ox = (float)bbox[0], oy = (float)bbox[2],
+                oz = (float)bbox[4];
+    for (int64_t i = 0; i < n; ++i) {
+      const float* p = pts + 3 * i;
+      if (!(p[2] > zmin && p[2] < zmax)) continue;
+      float w[3];
+      for (int a = 0; a < 3; ++a)
+        w[a] = pose[4 * a] * p[0] + pose[4 * a + 1] * p[1] +
+               pose[4 * a + 2] * p[2] + pose[4 * a + 3];
+      const float rx = w[0] - pose[3], ry = w[1] - pose[7],
+                  rz = w[2] - pose[11];
+      const float dist = std::sqrt(rx * rx + ry * ry + rz * rz);
+      const float inv = 1.0f / std::max(dist, 1e-6f);
+      const float d0 = rx * inv, d1 = ry * inv, d2 = rz * inv;
+      for (int j = 0; j < S; ++j) {
+        const float s = svals[(size_t)j];
+        const float px = w[0] + s * d0, py = w[1] + s * d1,
+                    pz = w[2] + s * d2;
+        if (!(px > bbox[0] && px < bbox[1] && py > bbox[2] &&
+              py < bbox[3] && pz > bbox[4] && pz < bbox[5]))
+          continue;
+        const int64_t cx = (int64_t)std::floor((px - ox) / res[0]);
+        const int64_t cy = (int64_t)std::floor((py - oy) / res[1]);
+        const int64_t cz = (int64_t)std::floor((pz - oz) / res[2]);
+        if (cx < 0 || cx >= dims[0] || cy < 0 || cy >= dims[1] ||
+            cz < 0 || cz >= dims[2])
+          continue;
+        TsdfCell& c = map[(cx * dims[1] + cy) * dims[2] + cz];
+        c.w += 1.0f;
+        c.wsdf += -s;
+      }
+    }
+  }
+
+  int64_t extract(float min_weight, float band, int64_t* cell,
+                  float* tsdf, float* weight, int64_t cap) const {
+    std::vector<int64_t> keys;
+    keys.reserve(map.size());
+    for (const auto& kv : map) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    const float thr = band * res[0];
+    int64_t m = 0;
+    for (int64_t cid : keys) {
+      const TsdfCell& c = map.at(cid);
+      if (c.w <= 0.0f) continue;
+      const float t = c.wsdf / std::max(c.w, 1e-9f);
+      if (c.w < min_weight || std::fabs(t) >= thr) continue;
+      if (cell != nullptr && m < cap) {
+        cell[m] = cid;
+        tsdf[m] = t;
+        weight[m] = c.w;
+      }
+      ++m;
+    }
+    return m;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* hf_tsdf_create(const double* bbox, const float* res, float zmin,
+                     float zmax, float trunc, int n_samples,
+                     const int64_t* dims) {
+  TsdfOracleN* o = new TsdfOracleN();
+  std::memcpy(o->bbox, bbox, 6 * sizeof(double));
+  std::memcpy(o->res, res, 3 * sizeof(float));
+  o->zmin = zmin;
+  o->zmax = zmax;
+  o->trunc = trunc;
+  o->n_samples = n_samples;
+  for (int a = 0; a < 3; ++a) o->dims[a] = dims[a];
+  return o;
+}
+
+void hf_tsdf_add_frame(void* h, const float* pts_cam, int64_t n,
+                       const float* pose) {
+  static_cast<TsdfOracleN*>(h)->add_frame(pts_cam, n, pose);
+}
+
+int64_t hf_tsdf_extract(void* h, float min_weight, float band,
+                        int64_t* cell, float* tsdf, float* weight,
+                        int64_t cap) {
+  return static_cast<TsdfOracleN*>(h)->extract(min_weight, band, cell,
+                                               tsdf, weight, cap);
+}
+
+int64_t hf_tsdf_n_cells(void* h) {
+  return (int64_t)static_cast<TsdfOracleN*>(h)->map.size();
+}
+
+void hf_tsdf_destroy(void* h) { delete static_cast<TsdfOracleN*>(h); }
 
 void* hf_oracle_create(const double* bbox, const float* res, float zmin,
                        float zmax, float cylinder_r, int k, int line_k,

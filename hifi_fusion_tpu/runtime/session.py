@@ -278,7 +278,8 @@ class FusionSession:
                 meta_name: str = "meta.csv",
                 ascii_mode: bool = True,
                 drain_timeout: float = 300.0,
-                variants: Tuple[str, ...] = ()) -> Dict:
+                variants: Tuple[str, ...] = (),
+                extra_fields: Tuple[str, ...] = ()) -> Dict:
         """Drain, export the fused cloud + metadata, clear the grid.
 
         Ingestion is gated while draining — the reference self-quiesces
@@ -392,6 +393,13 @@ class FusionSession:
                     csv_thread.join()
                     if csv_err:
                         raise csv_err[0]
+                # extra_fields: extraction lanes the caller wants back as
+                # host arrays (e.g. bench.py's full-sweep parity check
+                # fetches cell/count/centroid/normal/mean_dist).  The
+                # fetcher caches every lane the export waves pulled —
+                # cell/count/normal/mean_dist/centroid are all already on
+                # host here, so this usually costs zero tunnel traffic.
+                extra_host = fetch(extra_fields) if extra_fields else None
                 with self.timers.stage("process_metrics"):
                     metrics_thread.join()
                     metrics = metrics_box[0]
@@ -404,8 +412,11 @@ class FusionSession:
         finally:
             self._started = was_started
         log.info("PROCESS: %d voxels -> %s", n, cloud_path)
-        return {"cloud": cloud_path, "metadata": meta_path, "n_points": n,
-                "variants": variant_paths, "grid_metrics": metrics}
+        out = {"cloud": cloud_path, "metadata": meta_path, "n_points": n,
+               "variants": variant_paths, "grid_metrics": metrics}
+        if extra_host is not None:
+            out["host"] = extra_host
+        return out
 
     def _write_variants(self, host, cloud_path: str, variants,
                         ascii_mode: bool) -> Dict[str, str]:
