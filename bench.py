@@ -67,6 +67,11 @@ REFINE_EVERY = int(os.environ.get("BENCH_REFINE_EVERY", 8))
 # Mpts/s at 104/100 frames): the per-batch fixed machinery halves once
 # more while the staging thread still hides the 9.8 MB batch transfer.
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
+# Device pipeline depth for the replay session (runtime/session.py): the
+# per-batch completion scalar shares the stdio-relay tunnel with the next
+# batch's ~10 MB staging, so at depth 2 the barrier queues ~60 ms behind
+# the transfer; depth 3 gives it a full batch-time to cross.
+PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", 3))
 
 # Refine budget tiers + extract cap (warm_cache.py warms exactly these).
 # Tier selection happens ON DEVICE (ops/refine.py ``tiers``): the pass
@@ -483,7 +488,8 @@ def run_tpu(cfg, frames):
         n_frames = max((n_frames // BATCH) * BATCH, BATCH)
         with FusionSession(cfg, output_dir=out_dir,
                            queue_depth=n_frames + BATCH,
-                           batch_fill_wait=2.0) as sess:
+                           batch_fill_wait=2.0,
+                           pipeline_depth=PIPE_DEPTH) as sess:
             sess.start()
             t0 = time.monotonic()
             for i in range(n_frames):

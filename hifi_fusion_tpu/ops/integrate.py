@@ -495,6 +495,12 @@ def integrate_frame_impl(grid: GridState,
     resid_on = bool(config.dep_resid_pairs) and bool(dep_width_tiers)
     NR = config.dep_resid_pairs
     RC = max(config.dep_resid_cells, 1)
+    # static feasibility of the packed-coordinate owner-center channel
+    # (pair block): GLOBAL coords must fit 30 bits so the packed int
+    # stays a nonnegative i32
+    gdims = (config.global_x_cells, config.dims[1], config.dims[2])
+    cbits = tuple(max(int(d - 1).bit_length(), 1) for d in gdims)
+    pack_ok = sum(cbits) <= 30
 
     def _resid_block(DW):
         """Cylinder streaming for lanes [DW, dep) of cells deeper than
@@ -598,8 +604,6 @@ def integrate_frame_impl(grid: GridState,
         oorder = jnp.argsort(~ostarts, stable=True)[:UH]
         start_own = so_own[oorder]
         oso = jnp.clip(start_own, 0, C - 1)
-        o_center = geometry.center_of_ids(key_table[oso], config,
-                                          offset)          # (3,UH)
         o_nrows = rows(grid.normal, 3, oso)                # (UH,3)
         uh_lim = jnp.where(n_own > UH, UH - 1, n_own)
         overflow_hits = jnp.maximum(n_own - uh_lim, 0)
@@ -618,10 +622,13 @@ def integrate_frame_impl(grid: GridState,
         # them out (counted above).  oorder holds the UH lowest-owner
         # runs (starts ascend in owner-sorted lane order), so dropped
         # owners are exactly those at or above the first dropped run's
-        # owner — one scalar threshold.
+        # owner — one scalar threshold.  The threshold also gates
+        # DIRECTLY in (u, j) space (the owner of lane (u, j) is
+        # udep_rows[u, j]), so no ok channel needs to round-trip through
+        # the restore sort.
         thresh = jnp.where(n_own > UH,
                            start_own[jnp.minimum(uh_lim, UH - 1)], _BIG)
-        ok_sorted = (so_own < thresh).astype(f32)
+        okj = ujvalid & (udep_rows < thresh)               # (U,DW)
 
         def _at_starts(vals):                              # (UH,) -> (M2,)
             # oorder is a permutation prefix => unique positions; rows
@@ -629,33 +636,90 @@ def integrate_frame_impl(grid: GridState,
             return jnp.zeros((M2,), vals.dtype).at[oorder].set(
                 vals, unique_indices=True)
 
-        confill = segment_fill(jnp.stack(
-            [_at_starts(o_center[0]), _at_starts(o_center[1]),
-             _at_starts(o_center[2]), _at_starts(o_nrows[:, 0]),
-             _at_starts(o_nrows[:, 1]), _at_starts(o_nrows[:, 2])],
-            axis=0), ostarts)                              # (6,M2)
-        # back to (u, j) order: so_idx is a permutation of arange(M2), so
-        # a stable sort on it restores flat (cell-major) order exactly
-        inv = jax.lax.sort((so_idx, confill[0], confill[1], confill[2],
-                            confill[3], confill[4], confill[5], ok_sorted),
-                           num_keys=1, is_stable=True)
-        okj = (inv[7].reshape(U, DW) > 0) & ujvalid        # (U,DW)
-        con = jnp.stack(inv[1:7], axis=0).reshape(6, U, DW)
-        okt = okj.T[None]                                  # (1,DW,U)
-        # fold invalid/dropped lanes into the constants: a far-away
-        # center (finite: hr^2 stays below f32 max, no NaN path) makes
-        # the cylinder gate reject every point of that (cell, lane)
-        cstar = jnp.where(okt, jnp.transpose(con[:3], (0, 2, 1)), 3e18)
-        nstar = jnp.where(okt, jnp.transpose(con[3:], (0, 2, 1)), 0.0)
-        smat = jnp.concatenate([cstar, nstar], 0).reshape(6 * DW, U)
-
-        # -- broadcast (cell, lane) constants to point lanes: one scatter
-        # to segment starts + one (6*DW)-channel fill over NA
-        fill0 = jnp.zeros((6 * DW, NA), f32).at[:, uorder].set(
-            smat, unique_indices=True)
-        filled = segment_fill(fill0, starts)               # (6DW,NA)
-        cfill = filled[:3 * DW].reshape(3, DW, NA)
-        nfill = filled[3 * DW:].reshape(3, DW, NA)
+        if pack_ok:
+            # Owner CENTERS travel as ONE packed-coordinate int channel
+            # instead of 3 f32 channels: id -> global coords at the UH
+            # run starts (cheap), packed into <= 30 bits, and decoded at
+            # the point lanes with shift/mask + the exact cell_center
+            # arithmetic (pow2 bit ops — the ~23 ns/lane non-pow2 div
+            # that makes a per-lane id decode prohibitive, PERF.md §3,
+            # does not apply).  With the ok channel folded into the
+            # thresh gate above, the pair block's per-dep-lane scan
+            # floor drops from 11 channels to 9 (PERF.md §9): the
+            # NA-wide constants fill runs (1+3)*DW channels instead of
+            # 6*DW and the M2 restore sort 5 operands instead of 8.
+            bx, by, bz = cbits
+            o_coords = geometry.id_to_coords(key_table[oso], config)
+            if offset is not None:
+                o_coords = o_coords + offset[:, None]
+            kp = jnp.where(jnp.arange(UH, dtype=i32) < uh_lim,
+                           o_coords[0] | (o_coords[1] << bx)
+                           | (o_coords[2] << (bx + by)),
+                           -1)                             # (UH,)
+            conk = segment_fill(_at_starts(kp), ostarts)   # (M2,) i32
+            conf = segment_fill(jnp.stack(
+                [_at_starts(o_nrows[:, 0]), _at_starts(o_nrows[:, 1]),
+                 _at_starts(o_nrows[:, 2])], axis=0), ostarts)  # (3,M2)
+            # back to (u, j) order: so_idx is a permutation of
+            # arange(M2), so a stable sort on it restores flat
+            # (cell-major) order exactly
+            inv = jax.lax.sort((so_idx, conk, conf[0], conf[1], conf[2]),
+                               num_keys=1, is_stable=True)
+            kj = jnp.where(okj, inv[1].reshape(U, DW), -1)  # (U,DW)
+            nj = jnp.stack(inv[2:5], axis=0).reshape(3, U, DW)
+            nstar = jnp.where(okj.T[None],
+                              jnp.transpose(nj, (0, 2, 1)), 0.0)
+            # -1 init: lanes before the first segment start never receive
+            # a fill value and must decode as invalid, not cell (0,0,0)
+            kfill0 = jnp.full((DW, NA), -1, i32).at[:, uorder].set(
+                kj.T, unique_indices=True)
+            nfill0 = jnp.zeros((3 * DW, NA), f32).at[:, uorder].set(
+                nstar.reshape(3 * DW, U), unique_indices=True)
+            kfill = segment_fill(kfill0, starts)           # (DW,NA) i32
+            nfill = segment_fill(nfill0, starts).reshape(3, DW, NA)
+            kvalid = kfill >= 0
+            kc = jnp.maximum(kfill, 0)
+            ccoords = jnp.stack(
+                [kc & ((1 << bx) - 1), (kc >> bx) & ((1 << by) - 1),
+                 kc >> (bx + by)], axis=0)                 # (3,DW,NA)
+            # exact cell_center arithmetic (geometry.cell_center):
+            # origin + res * (coord + 0.5), f32, no contraction
+            org = jnp.asarray(config.origin, f32)
+            resv = jnp.asarray(config.resolution, f32)
+            cfill = (org[:, None, None]
+                     + resv[:, None, None]
+                     * (ccoords.astype(f32) + 0.5))        # (3,DW,NA)
+        else:
+            # coords exceed 30 packed bits (gigantic single-axis grids):
+            # the centers ride as 3 f32 channels, gated by an ok channel
+            # folded into a far-away center at the (u, j) stage
+            o_center = geometry.center_of_ids(key_table[oso], config,
+                                              offset)      # (3,UH)
+            confill = segment_fill(jnp.stack(
+                [_at_starts(o_center[0]), _at_starts(o_center[1]),
+                 _at_starts(o_center[2]), _at_starts(o_nrows[:, 0]),
+                 _at_starts(o_nrows[:, 1]), _at_starts(o_nrows[:, 2])],
+                axis=0), ostarts)                          # (6,M2)
+            inv = jax.lax.sort((so_idx, confill[0], confill[1],
+                                confill[2], confill[3], confill[4],
+                                confill[5]),
+                               num_keys=1, is_stable=True)
+            con = jnp.stack(inv[1:7], axis=0).reshape(6, U, DW)
+            okt = okj.T[None]                              # (1,DW,U)
+            # fold invalid/dropped lanes into the constants: a far-away
+            # center (finite: hr^2 stays below f32 max, no NaN path)
+            # makes the cylinder gate reject every point of the lane
+            cstar = jnp.where(okt, jnp.transpose(con[:3], (0, 2, 1)),
+                              3e18)
+            nstar = jnp.where(okt, jnp.transpose(con[3:], (0, 2, 1)),
+                              0.0)
+            smat = jnp.concatenate([cstar, nstar], 0).reshape(6 * DW, U)
+            fill0 = jnp.zeros((6 * DW, NA), f32).at[:, uorder].set(
+                smat, unique_indices=True)
+            filled = segment_fill(fill0, starts)           # (6DW,NA)
+            cfill = filled[:3 * DW].reshape(3, DW, NA)
+            nfill = filled[3 * DW:].reshape(3, DW, NA)
+            kvalid = True
 
         # -- per-(point, lane) cylinder test; arithmetic identical to the
         # reference's projectPointToVector form (OccupancyGrid.hpp:40-49)
@@ -663,7 +727,8 @@ def integrate_frame_impl(grid: GridState,
         ht = jnp.sum(hq * nfill, axis=0)                   # scalar proj t
         hr = hq - ht[None] * nfill
         hdist = jnp.sqrt(jnp.sum(hr * hr, axis=0))         # (DW,NA)
-        hhit = placed_s[None, :] & (hdist < config.cylinder_radius)
+        hhit = (placed_s[None, :] & kvalid
+                & (hdist < config.cylinder_radius))
         # SCALAR sum form (grid.py cyl_stats): q_proj = t*n with the
         # owner's constant normal, so only [t, t², d, d², 1] need summing
         vals5 = jnp.where(hhit[None], jnp.stack(

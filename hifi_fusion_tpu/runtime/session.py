@@ -67,7 +67,8 @@ class FusionSession:
                  model: str = "fusion",
                  model_params: Optional[Dict] = None,
                  batch_fill_wait: float = 0.0,
-                 live_batching: bool = False):
+                 live_batching: bool = False,
+                 pipeline_depth: int = 2):
         """``n_devices > 1`` runs the slab-sharded pipeline over a device
         mesh (parallel/sharding.py) behind the identical session contract;
         ``route=True`` additionally routes points to owner slabs over ICI
@@ -132,6 +133,17 @@ class FusionSession:
         # roundtrip per fetch) and collapsed throughput 6.5x (5.39 ->
         # 0.82 Mpts/s, 2026-08-21) — concurrent d->h fetches and h->d
         # staging from two threads thrash the single stdio-relay tunnel.
+        # ``pipeline_depth``: how many dispatched steps may be pending
+        # before the worker blocks on the oldest completion fetch.  Depth 2
+        # keeps dispatch/execute overlap (depth 1 measured a 7% end-to-end
+        # loss).  The completion scalar's d->h copy shares the single
+        # stdio-relay tunnel with the NEXT batch's ~10 MB h->d staging, so
+        # at depth 2 the barrier routinely queues ~60 ms behind staging
+        # traffic; depth 3 gives the scalar one extra batch-time to cross
+        # and the worker's await returns without stalling, at the cost of
+        # the backlog bound loosening by one step (replay/bench sessions —
+        # live sessions keep 2 for honest latency metrics).
+        self._pipeline_depth = max(int(pipeline_depth), 1)
         self._inflight = collections.deque()
         # K-frame batched dispatch (ops/integrate.py batched mode): the
         # largest K <= max_batch_frames that DIVIDES refine_every, so a
@@ -690,8 +702,8 @@ class FusionSession:
         self._inflight.append(h)
 
     def _await_inflight(self) -> None:
-        """Depth-2 bound: dispatch step k only after step k-2 completed."""
-        while len(self._inflight) >= 2:
+        """Pipeline bound: dispatch step k only after step k-depth done."""
+        while len(self._inflight) >= self._pipeline_depth:
             h = self._inflight.popleft()
             with self.timers.stage("device_wait"):
                 np.asarray(h)
