@@ -425,28 +425,35 @@ def integrate_frame_impl(grid: GridState,
     # ---- buffer append: one contiguous block write ----------------------
     # pack wanted lanes to the front with a payload sort (coords + slot
     # ride along; a bool key sorts False-first, so key = NOT wanted).
-    # The whole block (partition sort + append) sits under a lax.cond on
-    # n_want: in steady state nearly every touched cell already has its
-    # normal, so every lane is unwanted and the 5-channel NA-lane sort
-    # (~15 ms at the K=8 bench shape) is dead weight every batch.
+    # This block used to sit under a lax.cond on n_want (the idea: a
+    # steady batch with no fresh cells skips the 5-channel NA-lane
+    # sort) — but on a sweeping capture EVERY batch brings fresh
+    # surface, the branch was always taken, and the cond boundary
+    # itself copied the ~54 MB buffer arrays every batch (traced
+    # 8.3 ms, %cond.17, 2026-08-21).  Unconditional costs only the
+    # sort we were paying anyway and lets the buffer update alias the
+    # donated arrays.
     want_s = placed_s & ~nf0_s
     n_want = jnp.sum(want_s.astype(i32))
     fits = grid.buf_count + NA <= B
 
-    def _append(args):
-        bp, bs, bc = args
-        _, bwx, bwy, bwz, bwslot = jax.lax.sort(
-            (~want_s, world_s[0], world_s[1], world_s[2], slot_s),
-            num_keys=1, is_stable=True)
-        wv = jnp.stack([bwx, bwy, bwz], axis=0)
-        wslot = jnp.where(jnp.arange(NA, dtype=i32) < n_want, bwslot, -1)
-        bp = jax.lax.dynamic_update_slice(bp, wv, (0, bc))
-        bs = jax.lax.dynamic_update_slice(bs, wslot, (bc,))
-        return bp, bs
-
-    buf_pts, buf_slot = jax.lax.cond(
-        fits & (n_want > 0), _append, lambda a: (a[0], a[1]),
-        (grid.buf_pts, grid.buf_slot, grid.buf_count))
+    _, bwx, bwy, bwz, bwslot = jax.lax.sort(
+        (~want_s, world_s[0], world_s[1], world_s[2], slot_s),
+        num_keys=1, is_stable=True)
+    wv = jnp.stack([bwx, bwy, bwz], axis=0)
+    wslot = jnp.where(jnp.arange(NA, dtype=i32) < n_want, bwslot, -1)
+    # a non-fitting batch must leave the buffer untouched: clamp the
+    # write offset and mask every appended lane invalid, then restore
+    # the previous count
+    bc = jnp.where(fits, grid.buf_count, B - NA)
+    wslot = jnp.where(fits, wslot, -1)
+    buf_pts = jax.lax.dynamic_update_slice(
+        grid.buf_pts, jnp.where(fits, wv, jax.lax.dynamic_slice(
+            grid.buf_pts, (0, bc), (3, NA))), (0, bc))
+    buf_slot = jax.lax.dynamic_update_slice(
+        grid.buf_slot, jnp.where(
+            fits, wslot, jax.lax.dynamic_slice(grid.buf_slot, (bc,),
+                                               (NA,))), (bc,))
     buf_count = jnp.where(fits, grid.buf_count + n_want, grid.buf_count)
     overflow_buf = grid.overflow_buf + jnp.where(fits, 0, n_want)
 

@@ -195,25 +195,16 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     shpos = jnp.maximum(colbase - kk, 0)
     W = config.n_occ_words
     w0i = jnp.clip(shpos >> 5, 0, W - 1)
-    # both column words in ONE 2-word slice gather: TPU gathers cost one
-    # latency per INDEX (ops/scatter.rows), so this halves the gather
-    # count.  Start W-1 slices into the scratch tail's first word — junk,
-    # but only bit positions >= 32*W land there and those are cells
-    # >= n_cells, always masked by nvalid below.
-    # occ_bits is (W + scatter_tail,), so the 2-word slice at the largest
-    # clipped start (W-1) ends at W — in-bounds by construction.
-    # PROMISE_IN_BOUNDS instead of CLIP: bit-identical here, and CLIP's
-    # defensive lowering materialized four ~5 ms bitmap slices per pass
-    # on v5e (xplane trace, 2026-08-19 — ~21 of the 55 ms steady pass).
-    both = jax.lax.gather(
-        grid.occ_bits, w0i[..., None],
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(2,), collapsed_slice_dims=(),
-            start_index_map=(0,)),
-        slice_sizes=(2,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (Ncol,U,2)
-    w0 = both[..., 0]
-    w1 = both[..., 1]
+    # both column words as TWO flat 1-D gathers.  The earlier 2-word
+    # slice-gather form (lax.gather slice_sizes=(2,)) halved the gather
+    # count on paper, but its lowering materializes the whole 33 MB
+    # bitmap as four staged slices per pass (traced 21 ms of the steady
+    # refine, %slice-start.12-15, 2026-08-21); two flat gathers at
+    # (Ncol, U) indices are latency-bound (~12 ns/index) with no
+    # operand staging.  w0i+1 <= W by the clip, in-bounds by the
+    # scratch tail.
+    w0 = grid.occ_bits[w0i]                                # (Ncol,U)
+    w1 = grid.occ_bits[w0i + 1]
     b0 = (shpos & 31).astype(u32)
     winbits = (w0 >> b0) | jnp.where(b0 > 0, w1 << (u32(32) - b0), u32(0))
     dz_off = jnp.arange(-kk, kk + 1, dtype=i32)[:, None, None]    # (win,1,1)
@@ -255,7 +246,10 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
     _, nvec = smallest_eigenpair_sym(a00, a01, a02, a11, a12, a22)  # (3,U)
 
     # Orient toward the stored viewpoint (OccupancyGrid.hpp:393-396).
-    vp = rows(grid.viewpoint, 3, cslot).T                          # (3,U)
+    # Three flat gathers, NOT rows(): the row form's reshape lays out the
+    # whole 75 MB viewpoint table every pass (~10 ms traced) — at U
+    # candidate lanes three flat gathers cost ~1 ms.
+    vp = jnp.stack([grid.viewpoint[cslot * 3 + r] for r in range(3)])
     flip = jnp.sum((vp - center) * nvec, axis=0) < 0.0
     nvec = jnp.where(flip[None, :], -nvec, nvec)
 
@@ -510,8 +504,18 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         esum5 = rsum5[:, eorder2]
         ovf = (jnp.maximum(t_rep - R2b, 0)
                + jnp.maximum(n_rends - UH, 0))
-        return (scatter_add(grid.cyl_stats, eo_slot, emask2,
-                            [esum5[r] for r in range(5)], C), ovf)
+        # compact returns — the scatter happens ONCE outside the rung
+        # switch: a branch returning the scattered cyl_stats copied the
+        # 126 MB array through the cond boundary every pass (traced
+        # 7.8 ms, %cond.10, 2026-08-21).  Pad to the rung-independent
+        # min(U, R2) so every rung's output shapes match.
+        UHp = min(U, R2)
+        pad = UHp - UH
+        if pad:
+            eo_slot = jnp.pad(eo_slot, (0, pad))
+            emask2 = jnp.pad(emask2, (0, pad))
+            esum5 = jnp.pad(esum5, ((0, 0), (0, pad)))
+        return eo_slot, emask2, esum5, ovf
 
     # ``replay_tiers`` (static, ascending) switches the replay expansion
     # on the LIVE pair-point total t_rep — known only mid-pass, so the
@@ -527,10 +531,12 @@ def refine_pass_impl(grid: GridState, *, config: FusionConfig,
         ixr = jnp.minimum(
             jnp.searchsorted(jnp.asarray(eff[:-1], i32), t_rep,
                              side="left").astype(i32), len(eff) - 1)
-        cyl_stats, ovf_rep = jax.lax.switch(
+        eo_slot, emask2, esum5, ovf_rep = jax.lax.switch(
             ixr, [partial(_replay_block, t) for t in eff])
     else:
-        cyl_stats, ovf_rep = _replay_block(R2)
+        eo_slot, emask2, esum5, ovf_rep = _replay_block(R2)
+    cyl_stats = scatter_add(grid.cyl_stats, eo_slot, emask2,
+                            [esum5[r] for r in range(5)], C)
     overflow_replay = overflow_replay + ovf_rep
 
     # --- buffer reclamation (post-replay) ---------------------------------

@@ -402,6 +402,7 @@ class FusionSession:
                             host["normal"], ascii_mode=ascii_mode)
                     variant_paths = self._write_variants(
                         host, cloud_path, variants, ascii_mode)
+                with self.timers.stage("process_csv_wait"):
                     csv_thread.join()
                     if csv_err:
                         raise csv_err[0]

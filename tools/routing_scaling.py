@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 N_DEVS = tuple(int(x) for x in os.environ.get("ROUTE_DEVS",
                                               "4,8").split(","))
 ROUNDS = int(os.environ.get("ROUTE_ROUNDS", 3))
+# Frame size: 32768 keeps compiles CPU-tractable; larger values (e.g.
+# 131072) make per-dispatch work dominate the mesh's fixed overheads so
+# the routed/replicated wall ratio reflects lane-space work, not
+# dispatch costs.
+POINTS = int(os.environ.get("ROUTE_POINTS", 32768))
 
 
 def main():
@@ -53,28 +58,34 @@ def main():
     from hifi_fusion_tpu.utils.synthetic import camera_rays, make_depth_sweep
 
     K = 2
+    scale = max(POINTS // 32768, 1)
     cfg = FusionConfig(
         bbox=(-0.35, 0.35, -0.35, 0.35, 0.0, 0.4),
         resolution=(0.001, 0.001, 0.001),
-        capacity_log2=17,
-        max_points=32768,
-        max_active_points=32768,
-        buffer_capacity_log2=17,
-        max_refine_candidates=1 << 15,
-        max_unique_per_frame=1 << 14,
-        max_hit_voxels=1 << 14,
-        max_replay_active=1 << 15,
-        max_replay_hits=1 << 18,
+        capacity_log2=17 + max(scale.bit_length() - 1, 0),
+        max_points=POINTS,
+        max_active_points=POINTS,
+        buffer_capacity_log2=17 + max(scale.bit_length() - 1, 0),
+        max_refine_candidates=(1 << 15) * scale,
+        max_unique_per_frame=(1 << 14) * scale,
+        max_hit_voxels=(1 << 14) * scale,
+        max_replay_active=(1 << 15) * scale,
+        max_replay_hits=(1 << 18) * scale,
         max_batch_frames=K,
         refine_every=K,
         z_clip=(0.28, 0.6),
         dep_width_tiers=(8,),
-        refine_tiers=((1 << 12, 1 << 14, 1 << 13, 1 << 15),),
-        replay_tiers=(1 << 10, 1 << 15),
+        refine_tiers=(((1 << 12) * scale, (1 << 14) * scale,
+                       (1 << 13) * scale, (1 << 15) * scale),),
+        replay_tiers=((1 << 10) * scale, (1 << 15) * scale),
     )
-    rays = camera_rays(256, 128, fx=360.0, fy=360.0)
-    frames = make_depth_sweep(cfg, 4, width=256, height=128, srays=rays,
-                              seed=0, noise_sd=3e-4, camera_height=0.4)
+    width = 256
+    height = POINTS // width
+    rays = camera_rays(width, height, fx=360.0 * (height / 128) ** 0.5,
+                       fy=360.0 * (height / 128) ** 0.5)
+    frames = make_depth_sweep(cfg, 4, width=width, height=height,
+                              srays=rays, seed=0, noise_sd=3e-4,
+                              camera_height=0.4)
 
     # host-side owner targeting (same slab/halo arithmetic as
     # routing.owner_of_x) for the LIVE per-device lane counts
