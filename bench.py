@@ -186,8 +186,12 @@ def bench_rays():
 # the dense (point x dep-lane) scans run 4 wide and the few thousand
 # deeper pairs ride a 2^15-lane compact side path.  Exact by
 # construction; overruns counted in overflow_hits.
+# Round-5 audit refresh: per-batch POINT-lane mass sits at dep<=3 for
+# >=99.5% (3-dep cells hold 28-49%, 4+ <=0.5% — tools/lane_efficiency.py
+# 2026-08-21), so the dense width drops 4 -> 3 (27 scan channels/lane
+# instead of 36) and the few thousand deeper pairs ride the residual.
 DW_TIERS = tuple(int(x) for x in
-                 os.environ.get("BENCH_DW", "4").split(",") if int(x))
+                 os.environ.get("BENCH_DW", "3").split(",") if int(x))
 RESID_CELLS = int(os.environ.get("BENCH_RESID_CELLS", 1 << 13))
 RESID_PAIRS = int(os.environ.get("BENCH_RESID_PAIRS", 1 << 15))
 STEADY_DW = DW_TIERS or None

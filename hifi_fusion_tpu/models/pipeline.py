@@ -245,7 +245,12 @@ class FusionPipeline:
                                      else ExtractResult._fields)
                          if f != "n_valid")
             need = _wire(want)
-            if need:
+            if need or prefetch:
+                # fields=() with a prefetch list starts the async d->h
+                # copies without materializing anything — the session's
+                # speculative end-of-sweep extract uses this to stream
+                # the export lanes across the tunnel while the device
+                # drains its last in-flight steps
                 cache.update(to_host(result, need,
                                      prefetch=_wire(prefetch)))
             if "centroid" in want and "centroid" not in cache:
