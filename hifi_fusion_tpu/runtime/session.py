@@ -115,8 +115,6 @@ class FusionSession:
 
         self._grid: GridState = self.pipeline.init()
         self._jrays = None          # device-resident rays (depth ingest)
-        self._spec_extract = None   # (frame_stamp, fetch): end-of-sweep
-        #                             speculative extract (see _dispatch)
         # Device pipeline depth 2 (double buffering): handles of the last
         # two dispatched steps.  The worker STAGES the next dispatch's
         # arrays (async h->d transfers), then harvests the OLDER handle's
@@ -287,7 +285,6 @@ class FusionSession:
             with self._glock:
                 self._grid = self.pipeline.init()
                 self._inflight.clear()
-                self._spec_extract = None
 
     def process(self, cloud_name: str = "test_cloud.pcd",
                 meta_name: str = "meta.csv",
@@ -348,17 +345,8 @@ class FusionSession:
                 want_rgb3 = bool(variants) or cloud_path.endswith(".ply")
                 pcd_fields = (("centroid", "rgb_packed")
                               + (("rgb",) if want_rgb3 else ()))
-                spec = self._spec_extract
-                self._spec_extract = None
                 with self.timers.stage("process_extract"):
-                    if spec is not None and \
-                            spec[0] == self._frames_integrated:
-                        # the worker's speculative end-of-sweep extract:
-                        # same grid (frame stamp matches, no final refine
-                        # was due), lanes already crossing the tunnel
-                        fetch = spec[1]
-                    else:
-                        fetch = self.pipeline.extract_fetcher(grid)
+                    fetch = self.pipeline.extract_fetcher(grid)
                     # prefetch: the PCD lanes' async d->h copies start
                     # behind the CSV lanes', so the tunnel streams
                     # back-to-back while the CSV thread formats
@@ -690,43 +678,18 @@ class FusionSession:
                         self._grid = self.pipeline.step_batch(
                             self._grid, *args)
         self._mark_integrated(k)
-        refined_now = False
+        # NB a speculative end-of-sweep extract (worker dispatches the
+        # extract + async export-lane fetches as soon as the last cadence
+        # refine lands) was built and measured NET ZERO (2026-08-21,
+        # three A/B rehearsals): the export lanes do not exist until the
+        # extract executes, which is ordered after every in-flight step —
+        # the fetch can never overlap the loop's device tail, it only
+        # moves time between the drain and process() accounting buckets.
         if (k > 1 and cfg.refine_every > 0
                 and refine_due(self._frames_integrated, k, cfg)):
             with self.timers.stage("refine"), annotate("refine"):
                 with self._glock:
                     self._grid = self.pipeline.refine(self._grid)
-            refined_now = True
-        # Speculative end-of-sweep extract (replay sessions only): when
-        # the cadence just refined, the input queue is empty, and no
-        # final refine would be due, this grid is exactly what process()
-        # will export — dispatch the extract NOW and start the async
-        # d->h copies of the export lanes.  The ~11 MB fetch then rides
-        # the tunnel during the drain tail (the device is busy finishing
-        # the last in-flight steps and the h->d staging is done — the
-        # tunnel is otherwise idle for ~0.75 s at depth 3), and
-        # process() finds the lanes already on host (~0.5 s off the
-        # process tail, measured 2026-08-21).  A stale guess (another
-        # frame arrives after all) is detected by the frame stamp and
-        # discarded — cost: one wasted extract + fetch, which is why
-        # this is gated to replay mode (batch_fill_wait > 0), where the
-        # producer pushes the whole sweep ahead of the drain.
-        if (refined_now and self._batch_fill_wait > 0
-                and cfg.extract_cap and cfg.refine_every > 0):
-            with self._qlock:
-                q_empty = not self._queue
-            if q_empty and not self._needs_final_refine():
-                try:
-                    from ..ops.extract import (CSV_EXPORT_FIELDS,
-                                               PCD_EXPORT_FIELDS)
-                    with self._glock:
-                        fetch = self.pipeline.extract_fetcher(self._grid)
-                        fetch((), prefetch=(CSV_EXPORT_FIELDS
-                                            + PCD_EXPORT_FIELDS))
-                        self._spec_extract = (self._frames_integrated,
-                                              fetch)
-                except Exception:
-                    log.exception("speculative extract failed (ignored)")
         with self._glock:
             # the barrier must be a real d->h FETCH: on the axon TPU
             # service block_until_ready returns once the step is enqueued,
