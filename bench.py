@@ -54,7 +54,16 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_BUDGET_S", 75))
 # Refine cadence (frames between refine passes, applied identically to the
 # TPU session AND the C++ oracle baseline — the workload definition).
+# BENCH_REFINE_FIRST > 0 shifts the mark lattice (config.refine_first):
+# marks at FIRST, FIRST+EVERY, ... — an early first pass seeds normals/
+# dependants while the steady cadence stays sparse.  Semantics note: the
+# REFERENCE refines on a 5 s wall-clock timer (FUSION.cpp:323), which at
+# its 31 Hz feed is one refine per ~150 frames — a sparse steady cadence
+# is still ~6x MORE frequent than the node this denominator is measured
+# against.  The oracle replays the identical mark schedule (refine_due),
+# so the parity check stays exact at any cadence.
 REFINE_EVERY = int(os.environ.get("BENCH_REFINE_EVERY", 8))
+REFINE_FIRST = int(os.environ.get("BENCH_REFINE_FIRST", 0))
 # K frames per integrate dispatch (ops/integrate.py batched mode): the
 # per-dispatch fixed machinery (hash insert, unique compaction, dep-row
 # gather, full-array scatter copies) runs once per BATCH at near-single-
@@ -114,7 +123,17 @@ PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", 3))
 #   cadence) over 8.4-10.4k typical — 20480 covers it with 22% margin at
 #   37% fewer candidate-scaled lanes (neighborhood gathers, line/link
 #   machinery) than the old 2^15.  Budgets need not be powers of two.
-TINY_BUDGETS = (20480, 1 << 17, 1 << 17, 1 << 21)
+#   Budgets scale with the STEADY refine interval: the audit's live
+#   counts (cand 8.4-16.7k, buffered 74-89k) are per-8-frame cadence and
+#   grow ~linearly with frames-between-passes, so a sparse schedule
+#   (BENCH_REFINE_FIRST + a wide BENCH_REFINE_EVERY) widens TINY
+#   proportionally — capped at MID, which bounds everything by the full
+#   config budgets as before.
+_TINY_SCALE = max(1, (REFINE_EVERY + 7) // 8)
+TINY_BUDGETS = (min(20480 * _TINY_SCALE, 1 << 18),
+                min((1 << 17) * _TINY_SCALE, 1 << 22),
+                min((1 << 17) * _TINY_SCALE, 1 << 19),
+                min((1 << 21) * _TINY_SCALE, 1 << 23))
 MID_BUDGETS = (1 << 18, 1 << 22, 1 << 19, 1 << 23)
 REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
 # Inner replay-expansion rungs (ops/refine.py ``replay_tiers``): the
@@ -125,7 +144,12 @@ REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
 # FIRST refine (replays 8 frames x 307k = 2.46M buffered points at once)
 # at half the 2^23 fallback's gather/fill machinery — it instantiates
 # only in MID (TINY's cap is below it), so the ladder stays 3+4 blocks.
-REPLAY_TIERS = (1 << 13, 1 << 19, 1 << 22)
+# The middle rung scales with the steady cadence like TINY does (steady
+# replay ~= buffered x ~6 links grows linearly with the interval); rungs
+# are deduped so a scaled middle rung never collides with the top one.
+REPLAY_TIERS = tuple(sorted({1 << 13,
+                             min((1 << 19) * _TINY_SCALE, 1 << 22),
+                             1 << 22}))
 # Emission bound for the capped extract: the bench sweep peaks at
 # 259,983 voxels (deterministic: the seed-0 sweep, post splice-skew fix);
 # 66*2^12 = 270,336 leaves 4% margin and sizes the export host fetch at
@@ -328,9 +352,11 @@ def bench_config(frames=None):
         resolution=(0.001, 0.001, 0.001),      # 1 mm pitch
         capacity_log2=22,
         max_points=POINTS,
-        # pre-normal buffered-point peak scales with the cadence:
-        # refine_every x N new-cell points between passes
-        buffer_capacity_log2=22 if REFINE_EVERY <= 8 else 23,
+        # pre-normal buffered-point peak scales with the FIRST refine
+        # interval (every frame's points buffer until the first normals
+        # exist; after that only new-cell points buffer)
+        buffer_capacity_log2=(
+            22 if (REFINE_FIRST or REFINE_EVERY) <= 8 else 23),
         max_refine_candidates=1 << 18,
         # the 96-frame sweep's measured per-batch dependant maximum is 6
         # (lane audit, PERF.md §9); 10 keeps 4 lanes of margin while the
@@ -339,6 +365,7 @@ def bench_config(frames=None):
         # overflow_dependants still guards the bound exactly.
         max_dependants=10,
         refine_every=REFINE_EVERY,
+        refine_first=REFINE_FIRST,
         z_clip=(0.28, 0.6),
         # ~90-100k distinct 1mm cells per 640x480 frame
         max_unique_per_frame=1 << 17,

@@ -103,6 +103,18 @@ class FusionConfig:
                                       # reference refines on a 5s wall-clock
                                       # timer, FUSION.cpp:323; we use a frame
                                       # cadence so results are deterministic)
+    refine_first: int = 0             # when > 0, the refine marks are
+                                      # refine_first, refine_first + e,
+                                      # refine_first + 2e, ... instead of
+                                      # multiples of e: an early first pass
+                                      # seeds normals/dependants while the
+                                      # steady cadence stays sparse.  The
+                                      # reference's 5 s timer at its 31 Hz
+                                      # feed refines every ~150 frames
+                                      # (FUSION.cpp:323,453) — a sparse
+                                      # steady cadence is CLOSER to its
+                                      # semantics than every-8.  0 = marks
+                                      # at multiples of e (legacy).
     reclaim_buffer: bool = True       # after each refine pass, drop buffer
                                       # lanes whose voxel has normal_found.
                                       # The reference keeps buffers forever
@@ -239,6 +251,10 @@ class FusionConfig:
         if self.bbox[0] >= self.bbox[1] or self.bbox[2] >= self.bbox[3] \
                 or self.bbox[4] >= self.bbox[5]:
             raise ValueError(f"degenerate bbox {self.bbox}")
+        if self.refine_first < 0:
+            raise ValueError(
+                f"refine_first={self.refine_first} must be >= 0 "
+                f"(0 = marks at multiples of refine_every)")
         return self
 
 

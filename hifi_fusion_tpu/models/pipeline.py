@@ -45,9 +45,22 @@ def refine_due(frames, k: int, config: FusionConfig):
     sync) and the benchmark all share it, so every execution path refines
     at the same frame numbers and produces the same grid (VERDICT r2 weak
     #5: bench and product cadences had diverged).  Works for device
-    ``frames`` scalars and Python ints alike."""
+    ``frames`` scalars and Python ints alike.
+
+    ``config.refine_first > 0`` shifts the mark lattice to refine_first +
+    m*refine_every (m >= 0): an early first mark seeds normals while the
+    steady cadence stays sparse (the reference's 5 s wall-clock timer at
+    31 Hz is ~every 150 frames, FUSION.cpp:323,453).  Both integer
+    divisions are floor divisions (numpy/jnp semantics), so frames below
+    refine_first are never due."""
     e = config.refine_every
-    return (frames // e) > ((frames - k) // e)
+    f0 = config.refine_first
+    hit = ((frames - f0) // e) > ((frames - k - f0) // e)
+    if f0 <= 0:
+        return hit
+    # floor division alone would extend the mark lattice backward below
+    # refine_first (f0 - e, f0 - 2e, ...); the first mark is f0 itself
+    return (frames >= f0) & hit
 
 
 def _maybe_refine(grid: GridState, config: FusionConfig, k: int,

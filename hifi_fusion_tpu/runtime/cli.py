@@ -58,6 +58,8 @@ def _build_config(args) -> FusionConfig:
     # --refine-every 0 disables refinement, models/pipeline.py)
     if getattr(args, "refine_every", None) is not None:
         base["refine_every"] = args.refine_every
+    if getattr(args, "refine_first", None) is not None:
+        base["refine_first"] = args.refine_first
     if getattr(args, "capacity_log2", None) is not None:
         base["capacity_log2"] = args.capacity_log2
     if getattr(args, "max_points", None) is not None:
@@ -313,6 +315,10 @@ def main(argv=None) -> int:
                                  "ZMIN", "ZMAX"))
         sp.add_argument("--resolution", type=float)
         sp.add_argument("--refine-every", type=int, dest="refine_every")
+        sp.add_argument("--refine-first", type=int, dest="refine_first",
+                        help="shift refine marks to FIRST, FIRST+EVERY, "
+                             "... (early seed pass + sparse steady "
+                             "cadence; 0 = multiples of EVERY)")
         sp.add_argument("--capacity-log2", type=int, dest="capacity_log2")
         sp.add_argument("--max-points", type=int, dest="max_points")
         sp.add_argument("--model", choices=("fusion", "tsdf"),

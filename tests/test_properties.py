@@ -133,3 +133,33 @@ def test_scatter_add_lane_order_invariant(seed):
         if ok:
             want[s] += v
     np.testing.assert_allclose(base, want, rtol=1e-6)
+
+
+def test_refine_due_schedule():
+    """refine_first shifts the mark lattice: marks at f0, f0+e, f0+2e...
+    — never below f0 (floor division must not extend the lattice
+    backward), and with refine_first=0 the legacy multiples-of-e rule is
+    unchanged.  Host-int and batched (k>1) forms agree: a mark falls in
+    (frames-k, frames] iff any single-step mark does."""
+    import dataclasses
+    from hifi_fusion_tpu.config import FusionConfig
+    from hifi_fusion_tpu.models.pipeline import refine_due
+
+    def marks(cfg, n=200):
+        return [f for f in range(1, n + 1) if refine_due(f, 1, cfg)]
+
+    base = FusionConfig()
+    legacy = dataclasses.replace(base, refine_every=8, refine_first=0)
+    assert marks(legacy, 40) == [8, 16, 24, 32, 40]
+    sched = dataclasses.replace(base, refine_every=24, refine_first=8)
+    assert marks(sched, 100) == [8, 32, 56, 80]
+    # backward-lattice regression: first=50, every=8 must NOT fire at 42
+    late = dataclasses.replace(base, refine_every=8, refine_first=50)
+    assert marks(late, 60) == [50, 58]
+    # batched cadence == union of single-step marks inside the batch
+    for cfg in (legacy, sched, late):
+        for k in (4, 8):
+            for f in range(k, 200, k):
+                single = any(refine_due(g, 1, cfg)
+                             for g in range(f - k + 1, f + 1))
+                assert bool(refine_due(f, k, cfg)) == single, (cfg, f, k)
