@@ -491,12 +491,7 @@ def run_tpu(cfg, frames):
     import jax
     from hifi_fusion_tpu.runtime.session import FusionSession
 
-    cache = os.path.join(ROOT, ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log(f"compilation cache unavailable: {e}")
+    _setup_jax_cache()
     # sitecustomize pins JAX_PLATFORMS=axon; BENCH_PLATFORM=cpu forces the
     # CPU backend for mechanics smoke-tests (env alone is not enough)
     if os.environ.get("BENCH_PLATFORM"):
@@ -575,9 +570,18 @@ def run_tpu(cfg, frames):
         return n_frames * POINTS / dt
 
     # warmup: compiles/loads all programs (persistent cache makes later
-    # runs cheap); run only 1 refine-cadence worth of frames
+    # runs cheap); run frames up to the FIRST refine mark so the refine
+    # ladder is touched before the timed run
     t0 = time.monotonic()
-    warm_tput = run_once(min(REFINE_EVERY, len(frames)), "warmup")
+    if _WARM[0] is not None:
+        # the overlapped program-warm thread (started before sweep
+        # generation) may still be loading; its remaining wait is the
+        # honest warm-start attribution, so log it
+        _WARM[0].join(timeout=max(remaining() - 30, 5))
+        log(f"program-warm join wait: {time.monotonic()-t0:.1f}s "
+            f"(loads overlapped with sweep prep)")
+    warm_tput = run_once(min(REFINE_FIRST or REFINE_EVERY, len(frames)),
+                         "warmup")
     log(f"warmup total (incl. compile): {time.monotonic()-t0:.1f}s")
     # floor for the emitted value — but never let a compile-dominated
     # warmup floor SHADOW a real cached steady measurement (2026-08-20:
@@ -932,9 +936,66 @@ def _kick_device_claim():
     threading.Thread(target=_claim, daemon=True, name="claim").start()
 
 
+def _setup_jax_cache():
+    import jax
+    cache = os.path.join(ROOT, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+
+_WARM = [None]
+
+
+def _kick_program_warm(cfg):
+    """Load/compile the EXACT programs the bench session dispatches
+    (integrate_batch_depth, the tiered refine, extract, metrics) on a
+    side thread while the host generates or disk-loads the sweep — the
+    ~40 s of executable deserialize+service-load (PERF.md §11) is
+    device/service time the host-prep phase otherwise leaves serial
+    (VERDICT r4 next #7).  The thread is joined before the warmup run,
+    so its residual wait is logged as the warm-start attribution.  The
+    inputs are zero-filled shape probes: programs are shape-keyed."""
+    if os.environ.get("BENCH_PLATFORM"):
+        return      # CPU smoke runs re-pin the platform inside run_tpu
+    import threading
+
+    def _w():
+        try:
+            t0 = time.monotonic()
+            import jax
+            import jax.numpy as jnp
+            _setup_jax_cache()
+            from hifi_fusion_tpu.models.pipeline import FusionPipeline
+            pipe = FusionPipeline(cfg)
+            g = pipe.init()
+            N, K = cfg.max_points, max(BATCH, 1)
+            poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                     (K, 4, 4))
+            zd = jnp.zeros((K, N), jnp.uint16)
+            jrays = jnp.zeros((3, N), jnp.float32)
+            g = pipe.step_batch_depth(g, zd, zd,
+                                      jnp.zeros((K,), jnp.int32),
+                                      poses, jrays)
+            g = pipe.refine(g)
+            fetch = pipe.extract_fetcher(g)
+            fetch(("count",))
+            pipe.grid_metrics(g)
+            jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+            log(f"program warm thread done in {time.monotonic()-t0:.1f}s")
+        except Exception as e:
+            log(f"program warm failed: {type(e).__name__}: {e}")
+
+    _WARM[0] = threading.Thread(target=_w, daemon=True, name="progwarm")
+    _WARM[0].start()
+
+
 def _phases():
     _kick_device_claim()
     cfg = bench_config()
+    _kick_program_warm(cfg)
     if WIRE == "depth" and os.path.exists(_sweep_cache_path(FRAMES, FRAMES)):
         # full nominal sweep is disk-cached (~2 s load): skip the
         # generation-cost probe and the time-boxing entirely
