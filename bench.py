@@ -230,7 +230,9 @@ def remaining():
 def _workload_key():
     """Identifies the measured workload; persisted next to tpu_pts_per_s so
     a cached number is only compared against runs of the SAME workload."""
-    return (f"{FRAMES}x{POINTS}_b{BATCH}_r{REFINE_EVERY}_{WIRE}_fx{FX:g}"
+    r = (f"{REFINE_FIRST}+{REFINE_EVERY}" if REFINE_FIRST
+         else f"{REFINE_EVERY}")
+    return (f"{FRAMES}x{POINTS}_b{BATCH}_r{r}_{WIRE}_fx{FX:g}"
             f"_dw{','.join(map(str, DW_TIERS))}")
 
 
