@@ -129,11 +129,17 @@ PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", 3))
 #   (BENCH_REFINE_FIRST + a wide BENCH_REFINE_EVERY) widens TINY
 #   proportionally — capped at MID, which bounds everything by the full
 #   config budgets as before.
-_TINY_SCALE = max(1, (REFINE_EVERY + 7) // 8)
-TINY_BUDGETS = (min(20480 * _TINY_SCALE, 1 << 18),
-                min((1 << 17) * _TINY_SCALE, 1 << 22),
-                min((1 << 17) * _TINY_SCALE, 1 << 19),
-                min((1 << 21) * _TINY_SCALE, 1 << 23))
+_TINY_SCALE = max(1.0, REFINE_EVERY / 8)
+
+
+def _lanes(x, cap):
+    return min(-(-int(x) // 1024) * 1024, cap)   # 1024-multiple, capped
+
+
+TINY_BUDGETS = (_lanes(20480 * _TINY_SCALE, 1 << 18),
+                _lanes((1 << 17) * _TINY_SCALE, 1 << 22),
+                _lanes((1 << 17) * _TINY_SCALE, 1 << 19),
+                _lanes((1 << 21) * _TINY_SCALE, 1 << 23))
 MID_BUDGETS = (1 << 18, 1 << 22, 1 << 19, 1 << 23)
 REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
 # Inner replay-expansion rungs (ops/refine.py ``replay_tiers``): the
@@ -147,9 +153,12 @@ REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
 # The middle rung scales with the steady cadence like TINY does (steady
 # replay ~= buffered x ~6 links grows linearly with the interval); rungs
 # are deduped so a scaled middle rung never collides with the top one.
+# The top rung must cover the FIRST refine's replay (interval x 307k
+# buffered points x the line-walk link factor), so it scales with the
+# cadence like the middle rung, capped at the MID tier's 2^23 budget.
 REPLAY_TIERS = tuple(sorted({1 << 13,
-                             min((1 << 19) * _TINY_SCALE, 1 << 22),
-                             1 << 22}))
+                             _lanes((1 << 19) * _TINY_SCALE, 1 << 22),
+                             _lanes((1 << 22) * _TINY_SCALE, 1 << 23)}))
 # Emission bound for the capped extract: the bench sweep peaks at
 # 259,983 voxels (deterministic: the seed-0 sweep, post splice-skew fix);
 # 66*2^12 = 270,336 leaves 4% margin and sizes the export host fetch at
@@ -356,9 +365,12 @@ def bench_config(frames=None):
         max_points=POINTS,
         # pre-normal buffered-point peak scales with the FIRST refine
         # interval (every frame's points buffer until the first normals
-        # exist; after that only new-cell points buffer)
+        # exist; after that only new-cell points buffer): interval x
+        # POINTS must fit, and the buffer-append machinery is
+        # capacity-shaped, so never round up a fitting peak
         buffer_capacity_log2=(
-            22 if (REFINE_FIRST or REFINE_EVERY) <= 8 else 23),
+            22 if (REFINE_FIRST or REFINE_EVERY) * POINTS <= (1 << 22)
+            else 23),
         max_refine_candidates=1 << 18,
         # the 96-frame sweep's measured per-batch dependant maximum is 6
         # (lane audit, PERF.md §9); 10 keeps 4 lanes of margin while the

@@ -161,7 +161,13 @@ class FusionSession:
         kb = max(int(config.max_batch_frames), 1)
         e = config.refine_every
         if e > 0:
-            while e % kb:
+            # kb must divide BOTH the steady interval and the first mark
+            # (refine_first), or a mark could fall strictly inside a
+            # batch: the batched session would refine at the batch end
+            # while a single-stepped one (and the oracle) refines at the
+            # mark — different grids
+            f0 = config.refine_first
+            while e % kb or (f0 > 0 and f0 % kb):
                 kb -= 1
         if not hasattr(self.pipeline, "step_batch_depth"):
             kb = 1                  # model family without a batched step
