@@ -37,8 +37,14 @@ the smallest covering send budget ON DEVICE (see ``route_sort`` /
    whole K-frame batch in ONE collective ((K, 7, n_dev, Bs) send stacks).
 
 The receive budget per device is ``n_dev * send_lanes`` ~= beta * N / d
-(``send_lanes = beta * N / d^2``): per-device work genuinely scales ~1/d,
-with ``beta`` absorbing spatial imbalance.  The sharded pipeline runs a
+(``send_lanes = beta * N / d^2``): per-device lane budgets scale ~1/d in
+the balanced limit, with ``beta`` absorbing spatial imbalance.  MEASURED
+(tools/routing_scaling.py, 8-virtual-CPU mesh, 2026-08-21, PERF.md §14):
+on the bench sweep's camera frames the live shrink (frame points /
+per-device max) is **1.9x at d=4 and 2.5x at d=8**, not ~d — a single
+frame's x-extent concentrates into few slabs, so the max-loaded device
+bounds the tier.  The ~1/d figure is the multi-camera / wide-scan limit;
+size expectations from the measured table.  The sharded pipeline runs a
 ``lax.switch`` over an ascending beta-tier ladder keyed on the pmax'd
 ``max_bucket`` (parallel/sharding.py): spatially spread frames ride the
 small tier, concentrated ones escalate, and with the default top tier
