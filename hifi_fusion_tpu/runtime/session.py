@@ -208,7 +208,8 @@ class FusionSession:
     # control plane (Trigger-service equivalents)
     # ------------------------------------------------------------------
     def warm(self, rays: Optional[np.ndarray] = None,
-             extract: bool = False, depth: bool = False) -> float:
+             extract: bool = False, depth: bool = False,
+             planar: bool = True) -> float:
         """Compile/load every device program a capture will dispatch,
         BEFORE frames arrive (VERDICT r3 #4: on the TPU service a cold
         program costs minutes — a mid-capture first touch stalls a live
@@ -218,6 +219,10 @@ class FusionSession:
         ``rays`` additionally warms the sensor-native depth wire (and
         pins the session ray table, as push_depth_frame would).
         ``extract=True`` also warms the process()/extract path.
+        ``planar=False`` skips the planar-wire programs (single and
+        batched): a depth-wire-only session (tools/tsdf_bench.py, a
+        sensor capture) never dispatches them, and each is a
+        multi-minute first compile on the TPU service.
         Returns the wall seconds spent."""
         t0 = time.monotonic()
         cfg = self.config
@@ -229,10 +234,11 @@ class FusionSession:
                 self._jrays = self.pipeline.put_rays(rays)
             else:
                 self._jrays = jnp.asarray(np.asarray(rays, np.float32))
-        zp = jnp.zeros((3, N), jnp.float32)
-        zm = jnp.zeros((N,), bool)
         jpose = jnp.asarray(pose)
-        g = self.pipeline.step(g, zp, zp, zm, jpose)
+        if planar:
+            zp = jnp.zeros((3, N), jnp.float32)
+            zm = jnp.zeros((N,), bool)
+            g = self.pipeline.step(g, zp, zp, zm, jpose)
         # Depth-wire programs are shape-keyed, not value-keyed: with
         # ``depth=True`` a zero (3, N) ray table warms step_depth/
         # step_batch_depth even when the real rays arrive later (advisor
@@ -251,10 +257,11 @@ class FusionSession:
         if self._kb > 1:
             K = self._kb
             poses = jnp.broadcast_to(jpose, (K, 4, 4))
-            g = self.pipeline.step_batch(
-                g, jnp.zeros((K, 3, N), jnp.float32),
-                jnp.zeros((K, 3, N), jnp.float32),
-                jnp.zeros((K, N), bool), poses)
+            if planar:
+                g = self.pipeline.step_batch(
+                    g, jnp.zeros((K, 3, N), jnp.float32),
+                    jnp.zeros((K, 3, N), jnp.float32),
+                    jnp.zeros((K, N), bool), poses)
             if jrays is not None:
                 zdk = jnp.zeros((K, N), jnp.uint16)
                 g = self.pipeline.step_batch_depth(

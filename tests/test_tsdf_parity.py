@@ -101,3 +101,41 @@ def test_tsdf_session_end_to_end(tmp_path):
     nn = np.sqrt(data["normal_x"] ** 2 + data["normal_y"] ** 2
                  + data["normal_z"] ** 2)
     assert (np.abs(nn - 1.0) < 1e-3).mean() > 0.99
+
+
+def test_tsdf_batched_matches_single_step():
+    """integrate_tsdf_batch == K single steps: identical cell set and
+    weights; per-cell f32 sums reassociate, so value channels compare
+    with a tolerance.  Extraction sorts by cell id, so hash slot
+    placement differences cannot leak into the output."""
+    from hifi_fusion_tpu.models.tsdf import tsdf_to_host
+
+    base = small_test_config(refine_every=0, z_clip=(0.05, 10.0))
+    cfg = TsdfConfig(base=base, truncation=3 * base.resolution[0],
+                     n_samples=5, min_weight=1.0,
+                     batch_unique=4 * base.max_unique_per_frame)
+    pipe = TsdfPipeline(cfg)
+    frames = [pad_frame(f, base.max_points)
+              for f in make_sweep(base, 4, 700, seed=11)]
+
+    g1 = pipe.init()
+    for pf in frames:
+        g1 = pipe.step(g1, jnp.asarray(pf.points_cam), jnp.asarray(pf.rgb),
+                       jnp.asarray(pf.mask), jnp.asarray(pf.pose))
+    gk = pipe.init()
+    gk = pipe.step_batch(
+        gk,
+        jnp.asarray(np.stack([pf.points_cam for pf in frames])),
+        jnp.asarray(np.stack([pf.rgb for pf in frames])),
+        jnp.asarray(np.stack([pf.mask for pf in frames])),
+        jnp.asarray(np.stack([pf.pose for pf in frames])))
+    assert int(g1.frames) == int(gk.frames) == 4
+    assert int(gk.overflow_unique) == 0 and int(gk.overflow_probe) == 0
+
+    h1 = tsdf_to_host(pipe.extract(g1, cap=0))
+    hk = tsdf_to_host(pipe.extract(gk, cap=0))
+    np.testing.assert_array_equal(h1["cell"], hk["cell"])
+    np.testing.assert_allclose(h1["weight"], hk["weight"],
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(h1["centroid"], hk["centroid"],
+                               rtol=1e-5, atol=1e-6)

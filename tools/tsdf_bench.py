@@ -47,6 +47,13 @@ def main():
     # sample spacing <= pitch (11 samples across +-4 mm = 0.8 mm) so the
     # truncation band has no radial gaps at this resolution
     samples = int(os.environ.get("TSDF_SAMPLES", 11))
+    # K-frame batched ingest (models/tsdf.integrate_tsdf_batch_depth):
+    # the full-table costs (the 503 MB vstats rewrite, key-table
+    # machinery — ~60% of the 562 ms/frame single-step module, trace
+    # 2026-08-21) run once per batch.  The union budget is guarded by
+    # overflow_unique; 6M covers the measured ~1.07M cells/frame x 8
+    # with heavy band overlap.
+    batch_unique = int(os.environ.get("TSDF_BATCH_UNIQUE", 6 << 20))
     base = bench_config()
     frames = make_frames(base, max(n, 2), arc_frames=FRAMES)[:n]
     cfg = dataclasses.replace(
@@ -62,9 +69,11 @@ def main():
 
     with FusionSession(cfg, output_dir=tempfile.mkdtemp(prefix="tsdf_"),
                        queue_depth=n + 1, model="tsdf",
-                       model_params={"n_samples": samples}) as sess:
+                       batch_fill_wait=2.0,
+                       model_params={"n_samples": samples,
+                                     "batch_unique": batch_unique}) as sess:
         t0 = time.monotonic()
-        warm_s = sess.warm(rays=rays, extract=True)
+        warm_s = sess.warm(rays=rays, extract=True, planar=False)
         print(f"warm: {warm_s:.1f}s", flush=True)
         sess.start()
         t0 = time.monotonic()
