@@ -50,10 +50,12 @@ def main():
     # K-frame batched ingest (models/tsdf.integrate_tsdf_batch_depth):
     # the full-table costs (the 503 MB vstats rewrite, key-table
     # machinery — ~60% of the 562 ms/frame single-step module, trace
-    # 2026-08-21) run once per batch.  The union budget is guarded by
-    # overflow_unique; 6M covers the measured ~1.07M cells/frame x 8
-    # with heavy band overlap.
-    batch_unique = int(os.environ.get("TSDF_BATCH_UNIQUE", 6 << 20))
+    # 2026-08-21) run once per batch, and every U-shaped op (hash insert,
+    # slot sort, scatter batch) shrinks with this budget: measured end-
+    # to-end 0.76 Mpts/s at U=6.29M, 1.76 at 3.1M, 2.16 at 2.1M — all
+    # zero-overflow (the K=8 union of ~1.07M cells/frame band cells
+    # overlaps heavily).  Guarded by overflow_unique; raise on overflow.
+    batch_unique = int(os.environ.get("TSDF_BATCH_UNIQUE", 2 << 20))
     base = bench_config()
     frames = make_frames(base, max(n, 2), arc_frames=FRAMES)[:n]
     cfg = dataclasses.replace(
