@@ -683,7 +683,8 @@ def run_baseline(cfg, frames):
     STATE.base_pts_per_s = pts_per_s
     save_measured(baseline_notes=(
         f"C++ oracle (oracle_native.cpp), single-threaded, {done} frames x "
-        f"{POINTS} pts at 1 mm bench config, refine every {REFINE_EVERY}, "
+        f"{POINTS} pts at 1 mm bench config, refine "
+        f"{'at ' + str(REFINE_FIRST) + ' then every ' + str(REFINE_EVERY) if REFINE_FIRST else 'every ' + str(REFINE_EVERY)}, "
         f"buffer reclamation on: {pts_per_s/1e6:.2f} Mpts/s. Early frames "
         f"are the oracle's fastest (grid fills), so partial-sweep averages "
         f"are GENEROUS denominators. save_measured keeps the historical "

@@ -14,7 +14,11 @@ at 31 Hz, FUSION.cpp:453) against a warmed, live-batching session:
   or sheds the excess through the drop-oldest queue exactly like the
   reference does at 31 Hz.
 
-Env: LIVE_FPS (30), LIVE_SECONDS (8), LIVE_QUEUE (100).
+Env: LIVE_FPS (30), LIVE_SECONDS (8), LIVE_QUEUE (100), LIVE_DEPTH
+(device pipeline depth, default 2 = the live default; the harvest
+scalar shares the stdio tunnel with frame staging, so depth 3 gives it
+a batch-time to cross — integrated counts stay device-true either way,
+the bound just loosens by one step).
 """
 
 import json
@@ -41,6 +45,7 @@ def main():
     fps = float(os.environ.get("LIVE_FPS", 30.0))
     seconds = float(os.environ.get("LIVE_SECONDS", 8.0))
     qdepth = int(os.environ.get("LIVE_QUEUE", 100))
+    pdepth = int(os.environ.get("LIVE_DEPTH", 2))
     period = 1.0 / fps
     cfg = bench_config()
     rays = bench_rays()
@@ -51,7 +56,8 @@ def main():
     out = {"fps": fps, "queue_depth": qdepth, "batch": BATCH}
 
     with FusionSession(cfg, output_dir=tempfile.mkdtemp(prefix="live_"),
-                       queue_depth=qdepth, live_batching=True) as sess:
+                       queue_depth=qdepth, live_batching=True,
+                       pipeline_depth=pdepth) as sess:
         t0 = time.monotonic()
         warm_s = sess.warm(rays=rays, extract=True)
         print(f"warm: {warm_s:.1f}s", flush=True)
