@@ -106,6 +106,13 @@ def main():
         got = parse_counts(out)
         for k in totals:
             totals[k] += got[k]
+        if rc == 5:
+            # pytest exit 5 = no tests collected: in the heavy stage most
+            # files simply have no @heavy tests — an empty shard, not a
+            # failure
+            print(f"{os.path.relpath(path, REPO):44s} (no tests in stage)",
+                  flush=True)
+            continue
         status = "ok" if rc == 0 else f"FAIL rc={rc}"
         print(f"{name:44s} {status:12s} {got['passed']:3d} passed "
               f"{got['failed']:2d} failed {got['skipped']:3d} skipped "
