@@ -136,9 +136,16 @@ def _lanes(x, cap):
     return min(-(-int(x) // 1024) * 1024, cap)   # 1024-multiple, capped
 
 
+# BENCH_TINY_BUF overrides the buffer/run lanes (live steady counts are
+# 74-89k vs the 2^17 default — a measured-margin trim knob).
+# Default 98304 (measured 2026-08-21: steady buffered peak 89k -> 10%
+# margin; 6.554 Mpts/s vs 6.295-6.49 at 2^17 same-day).  The TINY
+# replay-cap proof still holds: 98304 x 12 links < 2^21.  A denser
+# sweep falls back to the MID tier (slower, never overflowing).
+_TINY_BUF = int(os.environ.get("BENCH_TINY_BUF", 98304))
 TINY_BUDGETS = (_lanes(20480 * _TINY_SCALE, 1 << 18),
-                _lanes((1 << 17) * _TINY_SCALE, 1 << 22),
-                _lanes((1 << 17) * _TINY_SCALE, 1 << 19),
+                _lanes(_TINY_BUF * _TINY_SCALE, 1 << 22),
+                _lanes(_TINY_BUF * _TINY_SCALE, 1 << 19),
                 _lanes((1 << 21) * _TINY_SCALE, 1 << 23))
 MID_BUDGETS = (1 << 18, 1 << 22, 1 << 19, 1 << 23)
 REFINE_TIERS = (TINY_BUDGETS, MID_BUDGETS)
